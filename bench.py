@@ -1,0 +1,92 @@
+"""Headline benchmark: PMMH aggregate throughput at 4096 particles (SIR).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json): PMMH on SIR with under-reported observations,
+4096 particles per chain, T=15 observations, tau-leap propagation — the
+reference's flagship configuration (reference tests/test_pmcmc_underreported.py
+with n_particles scaled up).  Aggregate iters/s counts every parallel chain's
+iteration; chains are vmapped on the chip (the multi-chip path shards the
+chains axis, measured separately via scaling tests).
+
+Baseline normalization: BASELINE.json's north-star target is >= 10,000
+aggregate iters/s on a v5e-16 (16 chips), i.e. 625 iters/s per chip.
+``vs_baseline`` is value / 625 measured on the single available chip — 1.0
+means on track for the pod-level target, assuming the measured >= 80%
+chain-parallel scaling efficiency.  (The reference CPU implementation manages
+~0.02 iters/s at 100 particles: tests/test_particles_subgroups.py:79-82.)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import sir_simulate_discrete
+
+    n_particles = 4096
+    n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "64"))
+    steps_per_unit = int(os.environ.get("BENCH_STEPS_PER_UNIT", "20"))
+
+    t = np.linspace(0, 14, 100)
+    df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(42)
+    y = jnp.asarray(rng.binomial(np.round(latent).astype(int), 0.1).astype(np.float32))
+
+    model = sir_model()
+    obs = get_observation_model("binomial")
+
+    def run(key, iters):
+        return particle_mcmc_chains(
+            model,
+            obs,
+            key,
+            y,
+            jnp.array([2.0, 1.0]),
+            0.05,
+            n_chains=n_chains,
+            n_iters=iters,
+            obs_param=0.1,
+            n_particles=n_particles,
+            n_population=4820,
+            mu=20.0,
+            steps_per_unit=steps_per_unit,
+            n_init_attempts=2,
+        )
+
+    # warmup/compile with a tiny iteration count (same static config)
+    r = run(jax.random.PRNGKey(0), n_iters)
+    np.asarray(r.thetas)
+
+    t0 = time.time()
+    r = run(jax.random.PRNGKey(1), n_iters)
+    np.asarray(r.thetas)
+    elapsed = time.time() - t0
+
+    total_iters = n_chains * n_iters
+    iters_per_s = total_iters / elapsed
+    per_chip_target = 10000.0 / 16.0
+    out = {
+        "metric": f"PMMH aggregate iters/s (SIR, {n_particles} particles, "
+        f"T=15, {n_chains} chains/chip)",
+        "value": round(iters_per_s, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_s / per_chip_target, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""Dataclass experiment configuration — the reference has no config system:
+constants sit at the top of ~20 scripts and grids are encoded as one file per
+grid point (reference tests/experiments/noise/noise_.1.py etc., SURVEY.md
+section 5).  One config type + a sweep helper replaces all of that.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Synthetic-dataset generation (reference data-gen blocks, e.g.
+    tests/test_pmcmc_noisy.py:20-29)."""
+
+    y0: Tuple[float, ...] = (4800.0, 20.0, 0.0)
+    theta_true: Tuple[float, ...] = (2.0, 1.0)
+    t_max: int = 14
+    grid_points: int = 100
+    observation: str = "binomial"  # "binomial" | "gaussian" | "none"
+    obs_param: float = 0.1
+    seed: int = 42
+    # subgroup models: y0 is [K*3] flat, beta part of theta_true row-major
+    aggregate_obs: bool = False
+
+
+@dataclasses.dataclass
+class MCMCConfig:
+    n_iters: int = 1000
+    h: float = 0.05
+    adaptive: bool = False
+    adapt_start: int = 1000
+    sigma0: Optional[Sequence[Sequence[float]]] = None
+    n_particles: int = 100
+    n_chains: int = 1
+    infer_obs_param: bool = False
+    steps_per_unit: int = 20
+    resampling: str = "systematic"
+    mu: float = 20.0
+    n_population: float = 4820.0
+    theta0: Optional[Tuple[float, ...]] = None  # default: theta_true
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str = "sir_underreported"
+    model: str = "sir"  # sir | seir | sir_subgroups | sir_subgroups2
+    subgroups: int = 2
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mcmc: MCMCConfig = dataclasses.field(default_factory=MCMCConfig)
+    out_dir: str = "data"
+    graphs_dir: str = "graphs"
+    seed: int = 0
+    make_plots: bool = True
+
+    def to_json(self):
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text):
+        raw = json.loads(text)
+        raw["data"] = DataConfig(**raw.get("data", {}))
+        raw["mcmc"] = MCMCConfig(**raw.get("mcmc", {}))
+        return ExperimentConfig(**raw)
+
+
+def sweep(base: ExperimentConfig, field_path: str, values):
+    """Yield copies of ``base`` with a (dotted) field swept over ``values`` —
+    replaces the reference's file-per-gridpoint experiment dirs
+    (tests/experiments/{noise,pobs,tmps}/)."""
+    for v in values:
+        cfg = dataclasses.replace(base)
+        cfg.data = dataclasses.replace(base.data)
+        cfg.mcmc = dataclasses.replace(base.mcmc)
+        obj = cfg
+        *parents, leaf = field_path.split(".")
+        for p in parents:
+            obj = getattr(obj, p)
+        setattr(obj, leaf, v)
+        cfg.name = f"{base.name}_{field_path.split('.')[-1]}_{v}"
+        yield cfg
+
+
+# Presets mirroring the reference's experiment grids
+def noise_sweep(base=None):
+    """reference tests/experiments/noise/: Gaussian noise levels .05-.3."""
+    base = base or ExperimentConfig(
+        name="noise",
+        data=DataConfig(observation="gaussian"),
+        mcmc=MCMCConfig(adaptive=True, n_particles=100, h=10.0),
+    )
+    for cfg in sweep(base, "data.obs_param", [0.05, 0.1, 0.15, 0.2, 0.25, 0.3]):
+        cfg.mcmc.theta0 = None
+        yield cfg
+
+
+def pobs_sweep(base=None):
+    """reference tests/experiments/pobs/: reporting probs .005-.075."""
+    base = base or ExperimentConfig(
+        name="pobs",
+        data=DataConfig(observation="binomial"),
+        mcmc=MCMCConfig(adaptive=True, n_particles=100, h=5.0),
+    )
+    yield from sweep(base, "data.obs_param", [0.005, 0.01, 0.025, 0.05, 0.075])
+
+
+def tmps_sweep(base=None):
+    """reference tests/experiments/tmps/: truncated series T in {11, 7, 3}."""
+    base = base or ExperimentConfig(
+        name="tmps",
+        data=DataConfig(observation="binomial"),
+        mcmc=MCMCConfig(adaptive=True, n_particles=100, h=5.0),
+    )
+    yield from sweep(base, "data.t_max", [11, 7, 3])

@@ -1,0 +1,310 @@
+"""Config-driven experiment runner.
+
+Replaces the reference's per-script workflow (generate data -> run PMCMC ->
+save CSVs -> plot -> print diagnostics, repeated across ~20 scripts) with one
+entry point:
+
+    python -m epitpu.cli.run --preset sir_underreported
+    python -m epitpu.cli.run --config my_experiment.json
+    python -m epitpu.cli.run --sweep noise
+
+Artifacts land in the reference's layout: ``<out_dir>/<name>/run<i>/*.csv``
+and ``<graphs_dir>/<name>/run<i>/*.png``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .configs import (
+    DataConfig,
+    ExperimentConfig,
+    MCMCConfig,
+    noise_sweep,
+    pobs_sweep,
+    tmps_sweep,
+)
+
+
+def build_model(cfg: ExperimentConfig):
+    from ..models import seir_model, sir_model, sir_subgroups_model
+
+    if cfg.model == "sir":
+        return sir_model()
+    if cfg.model == "seir":
+        return seir_model()
+    if cfg.model in ("sir_subgroups", "sir_subgroups2"):
+        return sir_subgroups_model(
+            k=cfg.subgroups,
+            aggregated_obs=(cfg.model == "sir_subgroups2" or cfg.data.aggregate_obs),
+        )
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def generate_dataset(cfg: ExperimentConfig):
+    """ODE ground truth + observation thinning, like every reference driver
+    (e.g. tests/test_pmcmc_noisy.py:20-29).  Returns (y, latent)."""
+    from ..ode import (
+        seir_simulate_discrete,
+        sir_simulate_discrete,
+        sir_subgroups_simulate_discrete,
+    )
+
+    d = cfg.data
+    t = np.linspace(0, d.t_max, d.grid_points)
+    if cfg.model == "sir":
+        df = sir_simulate_discrete(tuple(d.y0), t, *d.theta_true)
+        latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    elif cfg.model == "seir":
+        df = seir_simulate_discrete(tuple(d.y0), t, *d.theta_true)
+        latent = df[["susceptible", "exposed", "infected", "removed"]].to_numpy()
+    else:
+        k = cfg.subgroups
+        y0 = np.asarray(d.y0, dtype=float).reshape(k, 3)
+        beta = np.asarray(d.theta_true[: k * k], dtype=float).reshape(k, k)
+        gamma = float(d.theta_true[k * k])
+        df = sir_subgroups_simulate_discrete(y0, t, beta, gamma)
+        latent = df.drop(columns=["time"]).to_numpy()
+        if cfg.model == "sir_subgroups2":
+            # aggregate observation over groups (reference pmcmc.py:172-175)
+            latent_obs = sum(
+                latent[:, 3 * g : 3 * (g + 1)] for g in range(k)
+            )
+        else:
+            latent_obs = latent
+    if cfg.model in ("sir", "seir"):
+        latent_obs = latent
+
+    rng = np.random.default_rng(d.seed)
+    if d.observation == "binomial":
+        y = rng.binomial(np.round(latent_obs).astype(int), d.obs_param)
+    elif d.observation == "gaussian":
+        y = rng.normal(latent_obs, d.obs_param * latent_obs + 1e-4)
+    else:
+        y = latent_obs
+    return y.astype(np.float32), latent
+
+
+def run_experiment(cfg: ExperimentConfig, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from ..diag import acceptance_rate, ess, gelman_rubin, summarize_chain
+    from ..io import save_dataset, save_pmmh_run
+    from ..mcmc import particle_mcmc_chains
+    from ..observe import get_observation_model
+
+    model = build_model(cfg)
+    y, latent = generate_dataset(cfg)
+    out_root = os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(out_root, exist_ok=True)
+    save_dataset(os.path.join(out_root, "dataset.csv"), y)
+
+    m = cfg.mcmc
+    theta0 = list(m.theta0 if m.theta0 is not None else cfg.data.theta_true)
+    if m.infer_obs_param:
+        theta0 = theta0 + [cfg.data.obs_param]
+    obs_kind = (
+        "gaussian" if cfg.data.observation == "gaussian" else "binomial"
+    )
+    obs = get_observation_model(obs_kind)
+
+    if cfg.model.startswith("sir_subgroups"):
+        k = cfg.subgroups
+        y0 = np.asarray(cfg.data.y0, dtype=float).reshape(k, 3)
+        n_population = jnp.asarray(y0.sum(axis=1), jnp.float32)
+        mu = jnp.asarray(y0[:, 1], jnp.float32)
+    else:
+        n_population = float(np.sum(cfg.data.y0))
+        mu = float(cfg.data.y0[1] if cfg.model == "sir" else cfg.data.y0[2])
+
+    t0 = time.time()
+    result = particle_mcmc_chains(
+        model,
+        obs,
+        jax.random.PRNGKey(cfg.seed),
+        jnp.asarray(y),
+        jnp.asarray(theta0, jnp.float32),
+        m.h,
+        n_chains=m.n_chains,
+        adaptive=m.adaptive,
+        adapt_start=m.adapt_start,
+        sigma=None if m.sigma0 is None else jnp.asarray(m.sigma0, jnp.float32),
+        n_iters=m.n_iters,
+        obs_param=cfg.data.obs_param,
+        infer_obs_param=m.infer_obs_param,
+        n_particles=m.n_particles,
+        n_population=n_population,
+        mu=mu,
+        steps_per_unit=m.steps_per_unit,
+        resampling=m.resampling,
+    )
+    np.asarray(result.thetas)  # block
+    elapsed = time.time() - t0
+    total_iters = m.n_chains * m.n_iters
+
+    names = list(model.theta_names)
+    if m.infer_obs_param:
+        names.append("p_obs")
+    comp_names = [
+        {"s": "susceptible", "e": "exposed", "i": "infected", "r": "recovered"}.get(
+            c, c  # subgroup models keep their s_0/i_0/... names
+        )
+        for c in model.compartments
+    ]
+
+    run_dirs = []
+    for c in range(m.n_chains):
+        run_dir = os.path.join(out_root, f"run{c + 1}")
+        save_pmmh_run(
+            run_dir,
+            np.asarray(result.thetas[c]),
+            np.asarray(result.log_likelihoods[c]),
+            np.asarray(result.sampled_trajs[c]),
+            compartment_names=comp_names,
+        )
+        run_dirs.append(run_dir)
+
+    report = {
+        "name": cfg.name,
+        "iters_total": total_iters,
+        "seconds": elapsed,
+        "iters_per_s": total_iters / elapsed,
+        "acceptance": [
+            acceptance_rate(np.asarray(result.thetas[c]))
+            for c in range(m.n_chains)
+        ],
+        "summary": summarize_chain(
+            np.asarray(result.thetas).reshape(-1, len(names))[
+                max(1, total_iters // 10) :
+            ],
+            names,
+        ),
+    }
+    if m.n_chains >= 2:
+        burn = m.n_iters // 5
+        chains = np.asarray(result.thetas)[:, burn:, :]
+        report["gelman_rubin"] = gelman_rubin(chains).tolist()
+        report["ess"] = np.asarray(ess(chains)).tolist()
+
+    if cfg.make_plots:
+        from ..viz import multi_chain_traces, plot_pmmh_suite
+
+        gdir = os.path.join(cfg.graphs_dir, cfg.name, "run1")
+        first = jax.tree_util.tree_map(lambda a: a[0], result)
+        plot_pmmh_suite(
+            first,
+            gdir,
+            theta_names=names,
+            latent_truth=latent if latent.shape[1] == len(comp_names) else None,
+            compartment_names=comp_names,
+            burn_in=min(100, m.n_iters // 5),
+        )
+        if m.n_chains >= 2:
+            multi_chain_traces(
+                np.asarray(result.thetas), gdir, names, suffix="_chains"
+            )
+
+    if verbose:
+        import json
+
+        print(json.dumps(report, indent=2, default=float))
+    return result, report
+
+
+SWEEPS = {"noise": noise_sweep, "pobs": pobs_sweep, "tmps": tmps_sweep}
+
+PRESETS = {
+    "sir_underreported": lambda: ExperimentConfig(
+        name="sir_underreported",
+        data=DataConfig(observation="binomial", obs_param=0.1),
+        mcmc=MCMCConfig(n_iters=1000, h=0.05, n_particles=100, n_chains=3),
+    ),
+    "sir_noisy": lambda: ExperimentConfig(
+        name="sir_noisy",
+        data=DataConfig(observation="gaussian", obs_param=0.1),
+        mcmc=MCMCConfig(n_iters=1000, h=0.05, n_particles=100, n_chains=3),
+    ),
+    "sir_infer_p": lambda: ExperimentConfig(
+        name="sir_infer_p",
+        data=DataConfig(observation="binomial", obs_param=0.1),
+        mcmc=MCMCConfig(
+            n_iters=1000, h=0.02, n_particles=100, n_chains=3,
+            infer_obs_param=True,
+        ),
+    ),
+    "seir_underreported": lambda: ExperimentConfig(
+        name="seir_underreported",
+        model="seir",
+        data=DataConfig(
+            y0=(4800.0, 0.0, 20.0, 0.0),
+            theta_true=(4.0, 1.0, 1.0),
+            observation="binomial",
+            obs_param=0.1,
+        ),
+        mcmc=MCMCConfig(n_iters=1000, h=0.02, n_particles=100, n_chains=3),
+    ),
+    "sir_subgroups2": lambda: ExperimentConfig(
+        name="sir_subgroups2",
+        model="sir_subgroups2",
+        subgroups=2,
+        data=DataConfig(
+            y0=(2000.0, 30.0, 0.0, 3000.0, 40.0, 0.0),
+            theta_true=(5.0, 2.0, 1.0, 3.0, 0.5),
+            t_max=10,
+            observation="binomial",
+            obs_param=0.1,
+        ),
+        mcmc=MCMCConfig(n_iters=500, h=0.02, n_particles=100, n_chains=2),
+    ),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    ap.add_argument("--config", type=str, default=None, help="JSON config path")
+    ap.add_argument("--sweep", choices=sorted(SWEEPS), default=None)
+    ap.add_argument("--dump-config", action="store_true")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--chains", type=int, default=None)
+    ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--no-plots", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.sweep:
+        for cfg in SWEEPS[args.sweep]():
+            _apply_overrides(cfg, args)
+            run_experiment(cfg)
+        return 0
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        cfg = PRESETS[args.preset or "sir_underreported"]()
+    _apply_overrides(cfg, args)
+    if args.dump_config:
+        print(cfg.to_json())
+        return 0
+    run_experiment(cfg)
+    return 0
+
+
+def _apply_overrides(cfg, args):
+    if args.iters is not None:
+        cfg.mcmc.n_iters = args.iters
+    if args.chains is not None:
+        cfg.mcmc.n_chains = args.chains
+    if args.particles is not None:
+        cfg.mcmc.n_particles = args.particles
+    if args.no_plots:
+        cfg.make_plots = False
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,23 @@
+from .stats import (
+    acceptance_rate,
+    burn_thin,
+    ess,
+    gelman_rubin,
+    hdi,
+    mean_credible_interval,
+    posterior_mse,
+    running_mean,
+    summarize_chain,
+)
+
+__all__ = [
+    "acceptance_rate",
+    "burn_thin",
+    "ess",
+    "gelman_rubin",
+    "hdi",
+    "mean_credible_interval",
+    "posterior_mse",
+    "running_mean",
+    "summarize_chain",
+]

@@ -1,0 +1,152 @@
+"""Convergence and posterior diagnostics.
+
+Covers everything the reference gets from helpers.py + arviz:
+  * mean + 95% HDI               (reference helpers.py:5-13, az.hdi)
+  * Gelman-Rubin R-hat           (reference helpers.py:15-43, same formula)
+  * effective sample size        (reference scripts use az.ess,
+                                  e.g. tests/test_pmcmc_p.py:309-314)
+  * running mean                 (reference helpers.py:46-48)
+  * posterior MSE                (reference helpers.py:51-54)
+  * acceptance rate as the unique-row fraction
+                                 (reference tests/test_pmcmc_noisy.py:240-241)
+  * burn-in + thinning helper    (reference tests/test_pmcmc_noisy.py:82-94)
+
+arviz is not a dependency: HDI uses the same shortest-interval construction
+as ``az.hdi``; ESS implements the standard Geyer initial-positive-sequence
+autocorrelation estimator (the bulk-ESS core of arviz).  All functions accept
+numpy or JAX arrays and return numpy.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def hdi(samples, prob=0.95):
+    """Shortest interval containing ``prob`` mass (az.hdi construction).
+    samples: [N] or [N, d] -> (lo, hi) scalars or [d] arrays."""
+    a = np.asarray(samples, dtype=float)
+    if a.ndim == 2:
+        pairs = [hdi(a[:, j], prob) for j in range(a.shape[1])]
+        lo, hi = zip(*pairs)
+        return np.asarray(lo), np.asarray(hi)
+    x = np.sort(a)
+    n = len(x)
+    m = max(int(np.floor(prob * n)), 1)
+    widths = x[m - 1 :] - x[: n - m + 1]
+    i = int(np.argmin(widths))
+    return x[i], x[i + m - 1]
+
+
+def mean_credible_interval(data, prob=0.95):
+    """Reference helpers.py:5-13: (mean, hdi_lo, hdi_hi).  For 2-D data the
+    reference computes the mean per ROW (axis=1) and az.hdi per column; we
+    keep that orientation for drop-in parity."""
+    a = np.asarray(data, dtype=float)
+    if a.ndim == 2:
+        m = a.mean(axis=1)
+    else:
+        m = a.mean()
+    lo, hi = hdi(a if a.ndim == 1 else a, prob)
+    return m, lo, hi
+
+
+def gelman_rubin(chains):
+    """sqrt(V_hat / W) across chains, exactly the reference formula
+    (helpers.py:15-43).  chains: [M, N, d] or list of [N, d] -> [d]."""
+    chains = np.asarray(chains, dtype=float)
+    m, n, _ = chains.shape
+    means = chains.mean(axis=1)  # [M, d]
+    vars_ = chains.var(axis=1, ddof=1)  # [M, d] (1/(N-1) like the reference)
+    theta_hat = means.mean(axis=0)
+    w = vars_.mean(axis=0)
+    b = n / (m - 1) * ((means - theta_hat) ** 2).sum(axis=0)
+    v = (n - 1) / n * w + (m + 1) / (m * n) * b
+    return np.sqrt(v / w)
+
+
+def _autocov(x):
+    """FFT autocovariance of a 1-D series, biased (divided by N)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    xc = x - x.mean()
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft)
+    acov = np.fft.irfft(f * np.conj(f), nfft)[:n].real / n
+    return acov
+
+
+def ess(chains):
+    """Effective sample size via Geyer's initial positive sequence, pooled
+    across chains (the estimator behind az.ess's bulk method).
+    chains: [N], [M, N], or [M, N, d] -> scalar or [d]."""
+    a = np.asarray(chains, dtype=float)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim == 3:
+        return np.asarray([ess(a[:, :, j]) for j in range(a.shape[2])])
+    m, n = a.shape
+    acovs = np.stack([_autocov(a[i]) for i in range(m)])  # [M, N]
+    chain_var = acovs[:, 0].mean()
+    if chain_var == 0:
+        return float(m * n)
+    mean_acov = acovs.mean(axis=0)
+    # between-chain contribution (rank-normalized variants omitted; matches
+    # the classic multi-chain estimator)
+    w = mean_acov[0]
+    var_plus = w * (n - 1) / n + a.mean(axis=1).var(ddof=1 if m > 1 else 0)
+    rho = 1.0 - (w - mean_acov) / var_plus  # [N]
+    # Geyer: sum consecutive pairs while positive & monotone
+    tau = 1.0
+    prev_pair = np.inf
+    for t in range(1, n - 2, 2):
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        pair = min(pair, prev_pair)  # enforce monotone decrease
+        tau += 2.0 * pair
+        prev_pair = pair
+    return float(m * n / tau)
+
+
+def running_mean(x, n):
+    """Reference helpers.py:46-48."""
+    x = np.asarray(x, dtype=float)
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    return (c[n:] - c[:-n]) / float(n)
+
+
+def posterior_mse(true_param, chain):
+    """Reference helpers.py:51-54."""
+    return float(np.mean((np.asarray(chain, dtype=float) - true_param) ** 2))
+
+
+def acceptance_rate(thetas):
+    """Fraction of unique rows — the reference's live acceptance measure
+    (tests/test_pmcmc_noisy.py:240-241)."""
+    th = np.asarray(thetas)
+    return len(np.unique(th, axis=0)) / th.shape[0]
+
+
+def burn_thin(samples, burn_in=100, thin=1):
+    """Burn-in + thinning applied before analysis
+    (reference tests/test_pmcmc_noisy.py:82-94)."""
+    return np.asarray(samples)[burn_in::thin]
+
+
+def summarize_chain(thetas, names=None, prob=0.95):
+    """Per-parameter mean / median / HDI table (the reference prints these at
+    the end of every PMCMC script, e.g. tests/test_pmcmc_noisy.py:246-249)."""
+    th = np.asarray(thetas, dtype=float)
+    if th.ndim == 1:
+        th = th[:, None]
+    names = names or [f"theta_{j}" for j in range(th.shape[1])]
+    rows = {}
+    for j, name in enumerate(names):
+        lo, hi = hdi(th[:, j], prob)
+        rows[name] = {
+            "mean": float(th[:, j].mean()),
+            "median": float(np.median(th[:, j])),
+            "hdi_lo": float(lo),
+            "hdi_hi": float(hi),
+        }
+    return rows

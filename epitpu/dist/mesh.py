@@ -1,0 +1,162 @@
+"""Device-mesh construction and sharded execution wrappers.
+
+The reference has no distributed backend at all — its only parallelism is a
+single-host joblib process pool over particles (reference pmcmc.py:8,
+201-220) and chains run as separate script invocations combined post-hoc
+(reference tests/test_pmcmc_noisy.py:254-267).  The TPU-native equivalents:
+
+  * particles: vectorized within a chip (the tau-leap kernel is batched) and
+    optionally sharded over a ``particle`` mesh axis with psum/all_gather
+    collectives inside the filter (epitpu.smc.filter ``axis_name``);
+  * chains: embarrassingly parallel over a ``chain`` mesh axis via
+    ``shard_map`` + per-device ``vmap``, with optional *pooled* adaptive
+    covariance via collectives (epitpu.mcmc.adaptive.Welford.pooled) — a
+    capability the reference lacks;
+  * multi-host: the same mesh spans hosts (``jax.distributed.initialize`` at
+    program start); chain shards ride DCN, particle shards stay intra-slice.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+from ..mcmc.pmmh import particle_mcmc
+from ..smc.filter import particle_filter
+
+CHAIN_AXIS = "chain"
+PARTICLE_AXIS = "particle"
+
+
+def make_mesh(
+    n_chain_shards: Optional[int] = None,
+    n_particle_shards: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(chain, particle)`` mesh.  Defaults to all visible devices
+    on the chain axis (chains are the scalable resource for PMMH — MCMC
+    iterations are inherently sequential, SURVEY.md section 7)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_chain_shards is None:
+        n_chain_shards = devices.size // n_particle_shards
+    grid = devices.reshape(n_chain_shards, n_particle_shards)
+    return Mesh(grid, (CHAIN_AXIS, PARTICLE_AXIS))
+
+
+def sharded_particle_filter(
+    mesh: Mesh,
+    model,
+    obs_loglik,
+    key,
+    y,
+    theta,
+    obs_param,
+    n_particles_total: int,
+    **kwargs,
+):
+    """Particle filter with the particle axis sharded over the mesh.
+
+    ``n_particles_total`` is the GLOBAL particle count; each of the
+    ``particle`` shards owns ``n_particles_total / P`` particles.  Returns a
+    FilterResult whose ``log_likelihood`` is replicated; ``hidden`` stays
+    sharded over particles (axis 1).
+    """
+    n_shards = mesh.shape[PARTICLE_AXIS]
+    if n_particles_total % n_shards:
+        raise ValueError(
+            f"n_particles_total={n_particles_total} not divisible by "
+            f"{n_shards} particle shards"
+        )
+    n_local = n_particles_total // n_shards
+
+    def body(key, y, theta, obs_param):
+        return particle_filter(
+            model,
+            obs_loglik,
+            key,
+            y,
+            theta,
+            obs_param,
+            n_particles=n_local,
+            axis_name=PARTICLE_AXIS,
+            **kwargs,
+        )
+
+    # log_likelihood/log_zetas/degenerate are replicated; hidden and ancestry
+    # stay sharded on the particle axis (axis 1)
+    from ..smc.filter import FilterResult
+
+    out_specs = FilterResult(
+        log_likelihood=P(),
+        log_zetas=P(),
+        hidden=P(None, PARTICLE_AXIS, None),
+        ancestry=P(None, PARTICLE_AXIS),
+        degenerate=P(),
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)(key, y, theta, obs_param)
+
+
+def sharded_pmmh(
+    mesh: Mesh,
+    model,
+    obs_loglik,
+    key,
+    y,
+    parameters,
+    h,
+    n_chains_total: int,
+    pooled_adaptation: bool = False,
+    **kwargs,
+):
+    """Run ``n_chains_total`` independent PMMH chains sharded over the
+    ``chain`` mesh axis, ``vmap``-ped within each device.
+
+    Result arrays have a leading global chains axis (sharded).  With
+    ``pooled_adaptation`` the adaptive proposal covariance pools Welford
+    statistics across ALL chains via collectives each iteration.
+    """
+    n_shards = mesh.shape[CHAIN_AXIS]
+    if n_chains_total % n_shards:
+        raise ValueError(
+            f"n_chains_total={n_chains_total} not divisible by "
+            f"{n_shards} chain shards"
+        )
+    n_local = n_chains_total // n_shards
+    pool_axes = ("chain_vmap", CHAIN_AXIS) if pooled_adaptation else ()
+
+    def body(keys):
+        # keys: [n_local, 2] local slice of per-chain keys
+        run = lambda k: particle_mcmc(
+            model,
+            obs_loglik,
+            k,
+            y,
+            parameters,
+            h,
+            pool_axes=pool_axes,
+            **kwargs,
+        )
+        return jax.vmap(run, axis_name="chain_vmap")(keys)
+
+    keys = jax.random.split(key, n_chains_total)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(CHAIN_AXIS),),
+        out_specs=P(CHAIN_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)(keys)

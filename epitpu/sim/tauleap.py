@@ -1,0 +1,157 @@
+"""Device forward simulator: vectorized Euler-multinomial tau-leaping.
+
+This replaces the reference's per-particle Python Gillespie event loop
+(reference gillespie_algo.py:48-73: draw tau ~ Exp, draw reaction, update,
+repeat) with a fixed-step scheme that is TPU-friendly: static shapes, fully
+unrolled substeps inside one XLA computation, and ONE batched binomial draw
+per substep for the whole particle cloud.
+
+Scheme (chain-binomial / Euler-multinomial, the standard discretization used
+by pomp's ``reulermultinom``): over a substep of length dt, reaction r with
+per-capita hazard mu_r fires
+
+    n_r ~ Binomial(x[source_r], 1 - exp(-mu_r * dt))
+
+(competing hazards per source compartment when several reactions share one —
+the built-in models don't, so each substep is a single [..., R] binomial).
+This keeps counts non-negative *exactly* (no clipping bias) and converges to
+the exact SSA law as dt -> 0; ``steps_per_unit`` is the accuracy knob.
+(A midpoint predictor variant was tried and *increased* bias for these
+convex-growth epidemics, so it was removed.)
+
+Absorbing states need no special handling: when the infectious compartments
+hit zero all rates vanish and the binomials draw zeros, freezing the state —
+the same effect as the reference's ``while I > 0`` loop exit
+(reference gillespie_algo.py:48, 119, 193).
+
+States are float32 holding integer values (exact below 2^24), which keeps
+everything on the VPU without casts.  Binomial draws use the fast hybrid
+sampler (epitpu.sim.samplers) by default; pass ``sampler="exact"`` for
+gold-standard validation runs.
+
+Performance note (measured on TPU v5e via this harness): each *dynamic* loop
+trip (lax.scan iteration) costs ~330 us in launch overhead regardless of
+compute, so the substep loop is unrolled — the scan over substeps uses
+``unroll=n_steps`` and the only sequential trips left are the observation
+steps / MCMC iterations that are inherently sequential.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import CompartmentModel
+from .samplers import get_binomial_sampler
+
+
+def _per_capita(model, x, rates):
+    """Per-capita hazards mu[r] = a_r / x[source[r]], NaN-proofed.  The clip
+    matters: PMMH evaluates proposals unconditionally under vmap and discards
+    negative-theta ones afterwards, so a garbage theta must not poison the
+    chain with NaNs."""
+    src_x = jnp.take(x, jnp.asarray(model.source), axis=-1)
+    return jnp.where(src_x > 0, jnp.clip(rates, 0.0) / jnp.maximum(src_x, 1.0), 0.0)
+
+
+def _exit_counts(model: CompartmentModel, key, x, mu, dt, binomial):
+    """Sample per-reaction event counts for one substep given per-capita
+    hazards ``mu [..., R]``.  x: [..., C] -> counts [..., R]."""
+    src = jnp.asarray(model.source)
+
+    if model.sources_unique:
+        # one reaction per source compartment: sample each reaction directly
+        src_x = jnp.take(x, src, axis=-1)  # [..., R]
+        p_fire = jnp.clip(-jnp.expm1(-mu * dt), 0.0, 1.0)
+        return binomial(key, src_x, p_fire)
+
+    # Generic path: competing hazards — total exits per compartment, then
+    # split among its reactions with conditional binomials (static unroll).
+    onehot = model.source_onehot()  # [R, C]
+    lam = mu @ onehot  # [..., C] total per-capita exit hazard
+    p_exit = jnp.clip(-jnp.expm1(-lam * dt), 0.0, 1.0)
+    keys = jax.random.split(key, model.num_reactions + 1)
+    n_exit = binomial(keys[0], x, p_exit)  # [..., C]
+
+    counts = []
+    remaining = n_exit
+    rem_rate = lam
+    src_list = model.source.tolist()
+    for r in range(model.num_reactions):
+        c = src_list[r]
+        is_last = src_list[(r + 1):].count(c) == 0
+        rem_c = remaining[..., c]
+        if is_last:
+            n_r = rem_c
+        else:
+            frac = jnp.clip(
+                mu[..., r] / jnp.maximum(rem_rate[..., c], 1e-30), 0.0, 1.0
+            )
+            n_r = binomial(keys[r + 1], rem_c, frac)
+        counts.append(n_r)
+        remaining = remaining.at[..., c].add(-n_r)
+        rem_rate = rem_rate.at[..., c].add(-mu[..., r])
+    return jnp.stack(counts, axis=-1)
+
+
+def substep(model: CompartmentModel, key, x, theta, dt, sampler="fast"):
+    """Advance the state by one tau-leap substep of length dt."""
+    binomial = get_binomial_sampler(sampler)
+    stoich = model.stoich_jnp(x.dtype)
+    rates = model.rate_fn(x, theta)
+    mu = _per_capita(model, x, rates)
+    n_events = _exit_counts(model, key, x, mu, dt, binomial)  # [..., R]
+    return x + n_events @ stoich
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def advance(
+    model: CompartmentModel,
+    key,
+    x,
+    theta,
+    t_span,
+    steps_per_unit=20,
+    sampler="fast",
+):
+    """Advance by ``t_span`` time units using ``t_span * steps_per_unit``
+    substeps (UNROLLED — see module perf note).  Replaces the reference PF's
+    per-particle joblib fan-out of one-unit Gillespie runs
+    (reference pmcmc.py:200-220).  x: [..., C]."""
+    n_steps = int(round(t_span * steps_per_unit))
+    dt = t_span / n_steps
+
+    def body(x, k):
+        return substep(model, k, x, theta, dt, sampler), None
+
+    keys = jax.random.split(key, n_steps)
+    x_final, _ = jax.lax.scan(body, x, keys, unroll=True)
+    return x_final
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def simulate(
+    model: CompartmentModel,
+    key,
+    x0,
+    theta,
+    t_max,
+    steps_per_unit=20,
+    sampler="fast",
+):
+    """Simulate forward and record the state at integer times 0..t_max.
+
+    Returns ``[t_max + 1, ..., C]`` (time-major).  This is the device
+    equivalent of running the reference SSA with ``last_values_only=False``
+    and aligning the event trajectory to the integer grid, as the ABC driver
+    does by hand (reference abc_algo.py:55-93).
+    """
+
+    def unit(x, k):
+        x_next = advance(model, k, x, theta, 1.0, steps_per_unit, sampler)
+        return x_next, x_next
+
+    keys = jax.random.split(key, int(t_max))
+    _, traj = jax.lax.scan(unit, x0, keys)
+    return jnp.concatenate([x0[None], traj], axis=0)

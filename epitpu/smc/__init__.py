@@ -1,0 +1,19 @@
+from .filter import FilterResult, particle_filter, particle_filter_jit
+from .paths import sample_path
+from .resample import (
+    get_resampler,
+    multinomial_resample,
+    normalized_weights,
+    systematic_resample,
+)
+
+__all__ = [
+    "FilterResult",
+    "particle_filter",
+    "particle_filter_jit",
+    "sample_path",
+    "get_resampler",
+    "multinomial_resample",
+    "normalized_weights",
+    "systematic_resample",
+]

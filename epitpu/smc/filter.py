@@ -1,0 +1,191 @@
+"""Bootstrap particle filter as a single fused ``lax.scan`` over time.
+
+TPU-native redesign of the reference filter (reference pmcmc.py:123-233),
+which runs a sequential Python loop over observation times and fans each
+particle's one-unit Gillespie propagation out to a joblib process pool
+(reference pmcmc.py:200-220).  Here the whole filter — weighting,
+log-likelihood accumulation, resampling, ancestor gather, and tau-leap
+propagation of the full particle cloud — is one scan body compiled by XLA,
+with no host round-trips.  The filter is vmap-able over a chains axis and
+shard_map-able over the particle axis (see epitpu.dist).
+
+Reference timing semantics preserved exactly (reference pmcmc.py:177-183):
+at step p (1..T-1) the weights compare observation ``Y[p-1]`` against the
+*pre-propagation* states from step p-1, so ``Y[T-1]`` never enters the
+likelihood; the marginal-likelihood estimate is
+``zeta_p = zeta_{p-1} * mean(weights_p)`` — here accumulated in log space as
+``logZ += logsumexp(logw) - log N``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from ..models.base import CompartmentModel
+from ..sim.tauleap import advance
+from .resample import get_resampler
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FilterResult:
+    """Mirrors the reference's ``(zetas, hidden_process, ancestry_matrix)``
+    triple (reference pmcmc.py:233), in log space and always shape-static.
+
+    log_likelihood: scalar log of the reference's ``zetas[-1]``; -inf when any
+      step degenerated (the reference returns ``(None, None, None)`` instead).
+    log_zetas: [T] running log marginal likelihood (``log zetas``).
+    hidden: [T, N, C] particle states; row 0 is the initial cloud.
+    ancestry: [T, N] int32 ancestor indices; row 0 is zeros (never written by
+      the reference either, pmcmc.py:152).
+    degenerate: scalar bool — True iff some step had no finite weight.
+    """
+
+    log_likelihood: jnp.ndarray
+    log_zetas: jnp.ndarray
+    hidden: jnp.ndarray
+    ancestry: jnp.ndarray
+    degenerate: jnp.ndarray
+
+
+def particle_filter(
+    model: CompartmentModel,
+    obs_loglik,
+    key,
+    y,
+    theta,
+    obs_param,
+    n_particles: int = 1000,
+    n_population=4820,
+    mu=20.0,
+    steps_per_unit: int = 20,
+    resampling: str = "systematic",
+    x0: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    sampler: str = "fast",
+) -> FilterResult:
+    """Run the bootstrap filter on observations ``y: [T, obs_dim]``.
+
+    ``theta`` is the model's flat parameter vector; ``obs_param`` the (traced)
+    observation parameter (reporting probability or noise level).  ``x0`` may
+    override the model's Poisson initial cloud (reference pmcmc.py:156-170).
+
+    ``axis_name`` enables particle-axis sharding inside ``shard_map``: each
+    device holds ``n_particles`` *local* particles, the weight normalization
+    uses a psum-logsumexp over the axis, and resampling all-gathers the (tiny)
+    weight and state arrays so every shard computes the identical global
+    ancestor assignment and keeps its own slice.  At epidemic-model sizes
+    (N*C a few tens of KB) the all-gather rides ICI for free; ancestry/hidden
+    are recorded per-shard in *global* particle indices so a path sampled
+    from the all-gathered history is genealogy-consistent.
+    """
+    resampler = get_resampler(resampling)
+    t_len = y.shape[0]
+    key_init, key_scan = jax.random.split(key)
+
+    if axis_name is None:
+        n_total = n_particles
+        shard_offset = 0
+        shard_index = None
+    else:
+        n_shards = jax.lax.psum(1, axis_name)
+        n_total = n_particles * n_shards
+        shard_index = jax.lax.axis_index(axis_name)
+        shard_offset = shard_index * n_particles
+        # shards share the caller's key (so the resampling stream is identical
+        # everywhere) but must diversify their init/propagation randomness
+        key_init = jax.random.fold_in(key_init, shard_index)
+    log_n = jnp.log(jnp.asarray(n_total, jnp.float32))
+
+    if x0 is None:
+        x0 = model.init_fn(key_init, n_particles, n_population, mu)
+    x0 = x0.astype(jnp.float32)
+
+    def _global_lse(logw):
+        if axis_name is None:
+            return logsumexp(logw)
+        m = jax.lax.pmax(jnp.max(logw), axis_name)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jax.lax.psum(jnp.sum(jnp.exp(logw - m_safe)), axis_name)
+        return jnp.where(jnp.isfinite(m), jnp.log(s) + m_safe, -jnp.inf)
+
+    def step(carry, inp):
+        x, log_z, degen = carry
+        y_t, k = inp
+        k_res, k_prop = jax.random.split(k)
+
+        x_obs = model.observe_map(x)  # [N, obs_dim]
+        logw = obs_loglik(y_t, x_obs, obs_param)  # [N]
+        step_lse = _global_lse(logw)
+        step_degen = ~jnp.isfinite(step_lse)
+        log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse - log_n)
+
+        if axis_name is None:
+            anc, _ = resampler(k_res, logw)  # [N] int32
+            x_res = jnp.take(x, anc, axis=0)
+        else:
+            logw_all = jax.lax.all_gather(logw, axis_name, tiled=True)  # [Ntot]
+            x_all = jax.lax.all_gather(x, axis_name, tiled=True)  # [Ntot, C]
+            anc_all, _ = resampler(k_res, logw_all)  # [Ntot] global ids
+            anc = jax.lax.dynamic_slice_in_dim(
+                anc_all, shard_offset, n_particles
+            )
+            x_res = jnp.take(x_all, anc, axis=0)
+            k_prop = jax.random.fold_in(k_prop, shard_index)
+        x_new = advance(model, k_prop, x_res, theta, 1.0, steps_per_unit, sampler)
+        return (x_new, log_z, degen | step_degen), (x_new, anc, log_z)
+
+    keys = jax.random.split(key_scan, t_len - 1)
+    init = (x0, jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
+    (_, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
+        step, init, (y[: t_len - 1], keys)
+    )
+
+    hidden = jnp.concatenate([x0[None], xs], axis=0)
+    ancestry = jnp.concatenate(
+        [jnp.zeros((1, n_particles), jnp.int32), ancs], axis=0
+    )
+    log_zetas = jnp.concatenate([jnp.zeros((1,), jnp.float32), log_zs], axis=0)
+    return FilterResult(
+        log_likelihood=log_z,
+        log_zetas=log_zetas,
+        hidden=hidden,
+        ancestry=ancestry,
+        degenerate=degen,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6, 9, 10, 11))
+def particle_filter_jit(
+    model,
+    obs_loglik,
+    key,
+    y,
+    theta,
+    obs_param,
+    n_particles=1000,
+    n_population=4820,
+    mu=20.0,
+    steps_per_unit=20,
+    resampling="systematic",
+    sampler="fast",
+):
+    return particle_filter(
+        model,
+        obs_loglik,
+        key,
+        y,
+        theta,
+        obs_param,
+        n_particles=n_particles,
+        n_population=n_population,
+        mu=mu,
+        steps_per_unit=steps_per_unit,
+        resampling=resampling,
+        sampler=sampler,
+    )

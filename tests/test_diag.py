@@ -1,0 +1,115 @@
+"""Diagnostics vs numpy/scipy ground truth and the reference formulas."""
+import numpy as np
+
+from epitpu.diag import (
+    acceptance_rate,
+    burn_thin,
+    ess,
+    gelman_rubin,
+    hdi,
+    posterior_mse,
+    running_mean,
+    summarize_chain,
+)
+
+
+def test_hdi_normal():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0.0, 1.0, 200_000)
+    lo, hi = hdi(x, 0.95)
+    assert abs(lo + 1.96) < 0.05
+    assert abs(hi - 1.96) < 0.05
+
+
+def test_hdi_skewed_shorter_than_quantile_interval():
+    rng = np.random.default_rng(1)
+    x = rng.exponential(1.0, 100_000)
+    lo, hi = hdi(x, 0.95)
+    qlo, qhi = np.quantile(x, [0.025, 0.975])
+    assert (hi - lo) < (qhi - qlo)
+    assert lo < 0.05  # HDI of an exponential starts at ~0
+
+
+def test_gelman_rubin_matches_reference_formula():
+    """Cross-check against a literal transcription of helpers.py:15-43."""
+    rng = np.random.default_rng(2)
+    chains = rng.normal(size=(3, 400, 2))
+    chains[1] += 0.3  # make chains disagree a bit
+
+    def reference_impl(chs):
+        m = len(chs)
+        n, d = chs[0].shape
+        means = np.zeros((m, d))
+        varis = np.zeros((m, d))
+        for i, c in enumerate(chs):
+            for j in range(d):
+                mu = c[:, j].mean()
+                means[i, j] = mu
+                varis[i, j] = ((c[:, j] - mu) ** 2).sum() / (n - 1)
+        theta_hat = means.mean(axis=0)
+        w = varis.mean(axis=0)
+        b = n / (m - 1) * ((means - theta_hat) ** 2).sum(axis=0)
+        v = (n - 1) / n * w + (m + 1) / (m * n) * b
+        return np.sqrt(v / w)
+
+    np.testing.assert_allclose(
+        gelman_rubin(chains), reference_impl(list(chains)), rtol=1e-10
+    )
+
+
+def test_gelman_rubin_converged_near_one():
+    rng = np.random.default_rng(3)
+    chains = rng.normal(size=(4, 2000, 3))
+    r = gelman_rubin(chains)
+    assert (np.abs(r - 1.0) < 0.02).all()
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(4, 1000))
+    e = ess(x)
+    assert 2000 < e <= 4400  # iid: ESS ~ M*N
+
+
+def test_ess_correlated_much_smaller():
+    rng = np.random.default_rng(5)
+    n = 4000
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.95 * x[i - 1] + rng.normal()
+    e = ess(x)
+    # AR(1) rho=.95: ESS ~ N*(1-rho)/(1+rho) ~ N/39
+    assert e < n / 10
+
+
+def test_running_mean_matches_reference():
+    x = np.arange(10.0)
+    rm = running_mean(x, 3)
+    # reference helpers.py:46-48
+    c = np.cumsum(np.insert(x, 0, 0))
+    ref = (c[3:] - c[:-3]) / 3.0
+    np.testing.assert_allclose(rm, ref)
+
+
+def test_posterior_mse():
+    chain = np.array([1.0, 2.0, 3.0])
+    assert posterior_mse(2.0, chain) == np.mean((chain - 2.0) ** 2)
+
+
+def test_acceptance_rate_unique_rows():
+    th = np.array([[1, 2], [1, 2], [3, 4], [3, 4], [5, 6]])
+    assert acceptance_rate(th) == 3 / 5
+
+
+def test_burn_thin():
+    x = np.arange(100)
+    out = burn_thin(x, burn_in=10, thin=5)
+    np.testing.assert_array_equal(out, np.arange(10, 100, 5))
+
+
+def test_summarize_chain():
+    rng = np.random.default_rng(6)
+    th = rng.normal([2.0, 1.0], 0.1, size=(5000, 2))
+    s = summarize_chain(th, names=["beta", "gamma"])
+    assert abs(s["beta"]["mean"] - 2.0) < 0.02
+    assert s["gamma"]["hdi_lo"] < 1.0 < s["gamma"]["hdi_hi"]

@@ -1,0 +1,157 @@
+"""Particle-filter behavior: the reference's de facto verification methods
+made automatic (SURVEY.md section 4.1: likelihood-estimator consistency)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epitpu.models import sir_model, sir_subgroups_model
+from epitpu.observe import get_observation_model
+from epitpu.smc import particle_filter_jit, sample_path
+
+THETA = jnp.array([2.0, 1.0])
+
+
+def _ll(y, theta, key, n, **kw):
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    return particle_filter_jit(
+        m, obs, key, y, theta, 0.1, n, 4820, 20.0, **kw
+    ).log_likelihood
+
+
+def test_filter_shapes(sir_dataset):
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(m, obs, jax.random.PRNGKey(0), y, THETA, 0.1, 128)
+    t = y.shape[0]
+    assert res.hidden.shape == (t, 128, 3)
+    assert res.ancestry.shape == (t, 128)
+    assert res.log_zetas.shape == (t,)
+    assert np.isfinite(float(res.log_likelihood))
+    assert not bool(res.degenerate)
+    # ancestry row 0 is zeros (reference leaves it unwritten, pmcmc.py:152)
+    assert (np.asarray(res.ancestry[0]) == 0).all()
+
+
+def test_likelihood_consistency_variance_shrinks(sir_dataset):
+    """Reference method: PF at N in {10,100,1000}, mean stable, variance
+    shrinking (reference tests/test_particles_noisy.py:36-88)."""
+    y, _ = sir_dataset
+    stats = {}
+    for n in (16, 1024):
+        lls = [float(_ll(y, THETA, jax.random.PRNGKey(100 * n + i), n)) for i in range(10)]
+        stats[n] = (np.mean(lls), np.std(lls))
+    # an order of magnitude more particles must not increase spread, and the
+    # estimator mean must be stable across N (unbiasedness)
+    assert stats[1024][1] < stats[16][1]
+    assert abs(stats[1024][0] - stats[16][0]) < 3.0 * (stats[16][1] + 0.1)
+
+
+def test_likelihood_peaks_at_true_theta(sir_dataset):
+    y, _ = sir_dataset
+    ll_true = float(_ll(y, THETA, jax.random.PRNGKey(0), 512))
+    for bad in ([1.2, 1.0], [3.0, 1.0], [2.0, 0.5], [2.0, 1.6]):
+        ll_bad = float(_ll(y, jnp.array(bad), jax.random.PRNGKey(0), 512))
+        assert ll_true > ll_bad + 5.0, (bad, ll_true, ll_bad)
+
+
+def test_degenerate_data_gives_neg_inf():
+    """Impossible observations (more observed than latent) must yield -inf
+    log-likelihood and a degeneracy flag, not a crash — the analogue of the
+    reference's (None, None, None) return (pmcmc.py:187-192)."""
+    y = jnp.asarray(
+        np.array([[480.0, 2.0, 0.0], [1e6, 1e6, 1e6], [480.0, 2.0, 0.0]]),
+        jnp.float32,
+    )
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(m, obs, jax.random.PRNGKey(0), y, THETA, 0.1, 64)
+    assert np.isneginf(float(res.log_likelihood))
+    assert bool(res.degenerate)
+    assert np.isfinite(np.asarray(res.hidden)).all()
+
+
+def test_multinomial_resampling_mode(sir_dataset):
+    y, _ = sir_dataset
+    ll = float(
+        _ll(y, THETA, jax.random.PRNGKey(0), 256, resampling="multinomial")
+    )
+    assert np.isfinite(ll)
+
+
+def test_gaussian_observation_filter(sir_dataset):
+    """Noisy-counts variant (reference observations=True path)."""
+    _, latent = sir_dataset
+    rng = np.random.default_rng(7)
+    noise = 0.1
+    y = jnp.asarray(
+        rng.normal(latent, noise * latent + 1e-4).astype(np.float32)
+    )
+    m = sir_model()
+    obs = get_observation_model("gaussian")
+    res = particle_filter_jit(m, obs, jax.random.PRNGKey(0), y, THETA, noise, 256)
+    assert np.isfinite(float(res.log_likelihood))
+
+
+def test_subgroups_aggregated_filter():
+    """SIR_SUBGROUPS2: latent per-group state, aggregated observations
+    (reference pmcmc.py:172-175, tests/test_particles_subroups2.py:42-45)."""
+    from epitpu.sim import simulate
+
+    k = 2
+    m = sir_subgroups_model(k=k, aggregated_obs=True)
+    beta = np.array([[5.0, 2.0], [1.0, 3.0]])
+    theta = jnp.asarray(np.concatenate([beta.reshape(-1), [0.5]]), jnp.float32)
+    x0 = jnp.array([[2000.0, 30.0, 0.0, 3000.0, 40.0, 0.0]])
+    latent = np.asarray(simulate(m, jax.random.PRNGKey(5), x0, theta, 10, 40))[:, 0, :]
+    agg = latent[:, :3] + latent[:, 3:]
+    rng = np.random.default_rng(8)
+    y = jnp.asarray(rng.binomial(agg.astype(int), 0.1).astype(np.float32))
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(
+        m, obs, jax.random.PRNGKey(0), y, theta, 0.1, 128,
+        jnp.array([2030.0, 3040.0]), jnp.array([30.0, 40.0]),
+    )
+    assert res.hidden.shape == (11, 128, 6)
+    assert np.isfinite(float(res.log_likelihood))
+
+
+def test_sample_path_consistency(sir_dataset):
+    """Sampled path must follow the genealogy: every transition must be a
+    state that actually exists in the filter history."""
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(m, obs, jax.random.PRNGKey(0), y, THETA, 0.1, 64)
+    path = sample_path(jax.random.PRNGKey(9), res.hidden, res.ancestry)
+    assert path.shape == (y.shape[0], 3)
+    hidden = np.asarray(res.hidden)
+    p = np.asarray(path)
+    for t in range(y.shape[0]):
+        assert any(np.allclose(p[t], hidden[t, j]) for j in range(64)), t
+    # population conserved along the path
+    np.testing.assert_allclose(p.sum(axis=1), p.sum(axis=1)[0], atol=1e-3)
+
+
+def test_filter_under_vmap(sir_dataset):
+    """The PF must vmap over a chains axis (theta batched)."""
+    from epitpu.smc import particle_filter
+
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    thetas = jnp.array([[2.0, 1.0], [1.5, 0.8], [2.5, 1.2]])
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda k, th: particle_filter(
+                m, obs, k, y, th, 0.1, n_particles=64
+            ).log_likelihood
+        )
+    )
+    lls = fn(keys, thetas)
+    assert lls.shape == (3,)
+    assert np.isfinite(np.asarray(lls)).all()

@@ -1,0 +1,83 @@
+"""Resampling kernel correctness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epitpu.smc import multinomial_resample, normalized_weights, systematic_resample
+
+
+def test_normalized_weights_basic():
+    logw = jnp.log(jnp.array([0.1, 0.2, 0.7]))
+    w, lse, degen = normalized_weights(logw)
+    np.testing.assert_allclose(w, [0.1, 0.2, 0.7], rtol=3e-4)
+    assert not bool(degen)
+
+
+def test_normalized_weights_degenerate():
+    logw = jnp.full((4,), -jnp.inf)
+    w, lse, degen = normalized_weights(logw)
+    assert bool(degen)
+    np.testing.assert_allclose(w, 0.25)
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_delta_weights_select_single_particle():
+    logw = jnp.full((8,), -jnp.inf).at[3].set(0.0)
+    for fn in (systematic_resample, multinomial_resample):
+        idx, degen = fn(jax.random.PRNGKey(0), logw)
+        assert not bool(degen)
+        assert (np.asarray(idx) == 3).all(), fn.__name__
+
+
+def test_uniform_weights_resample_near_uniform():
+    n = 4096
+    logw = jnp.zeros((n,))
+    idx, _ = systematic_resample(jax.random.PRNGKey(1), logw)
+    # systematic resampling of uniform weights is a permutation-free identity
+    counts = np.bincount(np.asarray(idx), minlength=n)
+    assert counts.max() == 1 and counts.min() == 1
+
+
+def test_multinomial_counts_match_weights():
+    n = 1024
+    w = np.random.default_rng(0).dirichlet(np.ones(8))
+    # 8 blocks of equal within-block weight; P(block g) = w[g]
+    logw = jnp.log(jnp.asarray(np.repeat(w / (n // 8), n // 8), jnp.float32))
+    idx, _ = multinomial_resample(jax.random.PRNGKey(2), logw)
+    group = np.asarray(idx) // (n // 8)
+    freq = np.bincount(group, minlength=8) / n
+    np.testing.assert_allclose(freq, w, atol=0.05)
+
+
+def test_systematic_lower_variance_than_multinomial():
+    n = 512
+    rng = np.random.default_rng(3)
+    logw = jnp.asarray(np.log(rng.dirichlet(np.ones(n)) + 1e-12), jnp.float32)
+    w = np.exp(np.asarray(logw))
+    w = w / w.sum()
+
+    def offspring_var(fn, trials=64):
+        devs = []
+        for i in range(trials):
+            idx, _ = fn(jax.random.PRNGKey(i), logw)
+            counts = np.bincount(np.asarray(idx), minlength=n)
+            devs.append(((counts - n * w) ** 2).mean())
+        return np.mean(devs)
+
+    v_sys = offspring_var(systematic_resample)
+    v_mult = offspring_var(multinomial_resample)
+    assert v_sys < v_mult
+
+
+def test_degenerate_resample_is_identity():
+    logw = jnp.full((16,), -jnp.inf)
+    idx, degen = systematic_resample(jax.random.PRNGKey(0), logw)
+    assert bool(degen)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+
+
+def test_batched_resampling():
+    logw = jnp.zeros((4, 64))
+    idx, degen = systematic_resample(jax.random.PRNGKey(0), logw)
+    assert idx.shape == (4, 64)
+    assert degen.shape == (4,)
