@@ -45,7 +45,14 @@ def make_mesh(
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_chain_shards is None:
         n_chain_shards = devices.size // n_particle_shards
-    grid = devices.reshape(n_chain_shards, n_particle_shards)
+    need = n_chain_shards * n_particle_shards
+    if need > devices.size:
+        raise ValueError(
+            f"mesh needs {need} devices "
+            f"({n_chain_shards} chain x {n_particle_shards} particle shards) "
+            f"but only {devices.size} are available"
+        )
+    grid = devices.reshape(-1)[:need].reshape(n_chain_shards, n_particle_shards)
     return Mesh(grid, (CHAIN_AXIS, PARTICLE_AXIS))
 
 

@@ -295,6 +295,42 @@ def particle_mcmc_jit(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnums=(0, 1, 6, 8, 10, 11, 14, 15, 16, 17, 18),
+)
+def _chains_jit(
+    model,
+    obs_loglik,
+    keys,
+    y,
+    parameters,
+    h,
+    adaptive,
+    sigma,
+    n_iters,
+    obs_param,
+    infer_obs_param,
+    n_particles,
+    n_population,
+    mu,
+    steps_per_unit,
+    resampling,
+    adapt_start,
+    n_init_attempts,
+    sampler,
+):
+    fn = lambda k: particle_mcmc(
+        model, obs_loglik, k, y, parameters, h,
+        adaptive=adaptive, sigma=sigma, n_iters=n_iters, obs_param=obs_param,
+        infer_obs_param=infer_obs_param, n_particles=n_particles,
+        n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
+        resampling=resampling, adapt_start=adapt_start,
+        n_init_attempts=n_init_attempts, sampler=sampler,
+    )
+    return jax.vmap(fn)(keys)
+
+
 def particle_mcmc_chains(
     model,
     obs_loglik,
@@ -303,14 +339,30 @@ def particle_mcmc_chains(
     parameters,
     h,
     n_chains: int = 8,
-    **kwargs,
+    adaptive: bool = False,
+    sigma=None,
+    n_iters: int = 1000,
+    obs_param=0.1,
+    infer_obs_param: bool = False,
+    n_particles: int = 1000,
+    n_population=4820,
+    mu=20.0,
+    steps_per_unit: int = 20,
+    resampling: str = "systematic",
+    adapt_start: int = 1000,
+    n_init_attempts: int = 16,
+    sampler: str = "fast",
 ) -> PMMHResult:
-    """Run ``n_chains`` independent PMMH chains vmapped on one device.
+    """Run ``n_chains`` independent PMMH chains vmapped on one device, as ONE
+    compiled XLA program (eager dispatch through the tunneled TPU costs
+    ~30 s/call regardless of work — everything must run under jit).
     Result arrays gain a leading chains axis.  The reference's counterpart is
     re-running the script into run1/run2/run3 directories
     (reference tests/test_pmcmc_noisy.py:254-256)."""
     keys = jax.random.split(key, n_chains)
-    fn = lambda k: particle_mcmc(
-        model, obs_loglik, k, y, parameters, h, **kwargs
+    return _chains_jit(
+        model, obs_loglik, keys, y,
+        jnp.asarray(parameters, jnp.float32), h, adaptive, sigma, n_iters,
+        obs_param, infer_obs_param, n_particles, n_population, mu,
+        steps_per_unit, resampling, adapt_start, n_init_attempts, sampler,
     )
-    return jax.vmap(fn)(keys)

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from .base import make_model
 
 S, E, I, R = 0, 1, 2, 3
@@ -37,6 +39,7 @@ def _init(key, n_particles, n_population=4820, mu=20.0):
     return jnp.stack([s0, z, i0, z], axis=-1)
 
 
+@lru_cache(maxsize=None)  # identity-stable: repeated calls hit the jit cache
 def seir_model():
     return make_model(
         name="seir",

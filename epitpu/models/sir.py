@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from .base import make_model
 
 S, I, R = 0, 1, 2
@@ -35,6 +37,7 @@ def _init(key, n_particles, n_population=4820, mu=20.0):
     return jnp.stack([s0, i0, r0], axis=-1)
 
 
+@lru_cache(maxsize=None)  # identity-stable: repeated calls hit the jit cache
 def sir_model():
     return make_model(
         name="sir",

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from .base import make_model
 
 
@@ -85,6 +87,7 @@ def _aggregate_groups(k):
     return observe
 
 
+@lru_cache(maxsize=None)  # identity-stable: repeated calls hit the jit cache
 def sir_subgroups_model(k=2, aggregated_obs=False, reference_dynamics=True):
     """K-group SIR.  ``aggregated_obs=True`` gives the reference's
     SIR_SUBGROUPS2 (observations summed over groups)."""

@@ -29,11 +29,12 @@ everything on the VPU without casts.  Binomial draws use the fast hybrid
 sampler (epitpu.sim.samplers) by default; pass ``sampler="exact"`` for
 gold-standard validation runs.
 
-Performance note (measured on TPU v5e via this harness): each *dynamic* loop
-trip (lax.scan iteration) costs ~330 us in launch overhead regardless of
-compute, so the substep loop is unrolled — the scan over substeps uses
-``unroll=n_steps`` and the only sequential trips left are the observation
-steps / MCMC iterations that are inherently sequential.
+Performance note: per-op dispatch overhead on the tunneled TPU is enormous
+(~hundreds of us), so this kernel must always run INSIDE an enclosing
+``jax.jit`` (the filter/PMMH entry points are jitted).  Within one compiled
+program a ``lax.scan`` trip costs ~1 us, so the substep loop uses a modest
+``unroll`` (default 4) — full unrolling at production configs blew XLA
+compile time past 10 minutes on this 2-vCPU host for zero runtime gain.
 """
 from __future__ import annotations
 
@@ -105,7 +106,7 @@ def substep(model: CompartmentModel, key, x, theta, dt, sampler="fast"):
     return x + n_events @ stoich
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def advance(
     model: CompartmentModel,
     key,
@@ -114,10 +115,11 @@ def advance(
     t_span,
     steps_per_unit=20,
     sampler="fast",
+    unroll: int = 4,
 ):
     """Advance by ``t_span`` time units using ``t_span * steps_per_unit``
-    substeps (UNROLLED — see module perf note).  Replaces the reference PF's
-    per-particle joblib fan-out of one-unit Gillespie runs
+    substeps (scan with modest unroll — see module perf note).  Replaces the
+    reference PF's per-particle joblib fan-out of one-unit Gillespie runs
     (reference pmcmc.py:200-220).  x: [..., C]."""
     n_steps = int(round(t_span * steps_per_unit))
     dt = t_span / n_steps
@@ -126,7 +128,9 @@ def advance(
         return substep(model, k, x, theta, dt, sampler), None
 
     keys = jax.random.split(key, n_steps)
-    x_final, _ = jax.lax.scan(body, x, keys, unroll=True)
+    x_final, _ = jax.lax.scan(
+        body, x, keys, unroll=min(unroll, n_steps)
+    )
     return x_final
 
 

@@ -9,9 +9,29 @@ process once with a cleaned environment, before anything imports jax.
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and "jax" not in sys.modules:
+# The sitecustomize imports jax in EVERY process, so checking
+# ``"jax" not in sys.modules`` can never work as a guard — use an explicit
+# sentinel instead.  execve replaces the process, so the parent's imported
+# (axon-registered) jax is irrelevant.  The re-exec must happen inside
+# ``pytest_configure`` (not at module import): pytest's fd-level capture is
+# already active when conftest loads, and an execve'd child would inherit
+# the redirected fds and write all its output into a capture temp file that
+# dies with it — capture has to be stopped first, which needs the config.
+_NEEDS_REEXEC = bool(
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and not os.environ.get("EPITPU_TEST_CLEAN_ENV")
+)
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["EPITPU_TEST_CLEAN_ENV"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
