@@ -44,16 +44,33 @@ class MCMCConfig:
 
 
 @dataclasses.dataclass
+class ABCConfig:
+    """ABC rejection settings (reference abc_algo.py:17 call sites:
+    tests/simulated_data.py:39-52, tests/test_abc_sir.py:43)."""
+
+    n_samples: int = 100
+    threshold: float = 150.0
+    prior_lo: float = 0.0
+    prior_hi: float = 5.0
+    batch_size: int = 512
+    steps_per_unit: int = 20
+
+
+@dataclasses.dataclass
 class ExperimentConfig:
     name: str = "sir_underreported"
     model: str = "sir"  # sir | seir | sir_subgroups | sir_subgroups2
+    algo: str = "pmmh"  # pmmh | abc
     subgroups: int = 2
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     mcmc: MCMCConfig = dataclasses.field(default_factory=MCMCConfig)
+    abc: ABCConfig = dataclasses.field(default_factory=ABCConfig)
     out_dir: str = "data"
     graphs_dir: str = "graphs"
     seed: int = 0
     make_plots: bool = True
+    forecast_horizon: int = 0  # >0: posterior-predictive forecast to t=H
+    warm_start_dir: str = ""  # previous run dir to seed theta0/sigma0 from
 
     def to_json(self):
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -63,6 +80,7 @@ class ExperimentConfig:
         raw = json.loads(text)
         raw["data"] = DataConfig(**raw.get("data", {}))
         raw["mcmc"] = MCMCConfig(**raw.get("mcmc", {}))
+        raw["abc"] = ABCConfig(**raw.get("abc", {}))
         return ExperimentConfig(**raw)
 
 

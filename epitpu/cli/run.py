@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 from .configs import (
+    ABCConfig,
     DataConfig,
     ExperimentConfig,
     MCMCConfig,
@@ -89,7 +90,75 @@ def generate_dataset(cfg: ExperimentConfig):
     return y.astype(np.float32), latent
 
 
+def run_abc(cfg: ExperimentConfig, verbose=True):
+    """ABC rejection workload (reference tests/simulated_data.py:39-54,
+    tests/test_abc_sir.py:43): uniform priors, accept below threshold, save
+    the posterior dict as JSON + plot chains/KDE/trajectory CIs."""
+    import json
+
+    import jax
+
+    from ..abc import abc_rejection
+    from ..diag import summarize_chain
+    from ..io import save_dataset
+
+    model = build_model(cfg)
+    y, latent = generate_dataset(cfg)
+    out_root = os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(out_root, exist_ok=True)
+    save_dataset(os.path.join(out_root, "dataset.csv"), y)
+
+    a = cfg.abc
+    priors = {
+        name: (a.prior_lo, a.prior_hi) for name in model.theta_names
+    }
+    t0 = time.time()
+    result = abc_rejection(
+        model,
+        jax.random.PRNGKey(cfg.seed),
+        y,
+        n_samples=a.n_samples,
+        threshold=a.threshold,
+        priors=priors,
+        batch_size=a.batch_size,
+        steps_per_unit=a.steps_per_unit,
+    )
+    elapsed = time.time() - t0
+
+    # reference saves the posterior dict as JSON (tests/simulated_data.py:53)
+    with open(os.path.join(out_root, "posterior.json"), "w") as f:
+        json.dump({k: v.tolist() for k, v in result.posterior.items()}, f)
+    thetas = np.stack(
+        [result.posterior[n] for n in model.theta_names], axis=1
+    )
+    report = {
+        "name": cfg.name,
+        "algo": "abc",
+        "samples": int(thetas.shape[0]),
+        "trials": int(result.trials),
+        "acceptance": result.acceptance_rate,
+        "seconds": elapsed,
+        "samples_per_s": thetas.shape[0] / elapsed,
+        "summary": summarize_chain(thetas, list(model.theta_names)),
+    }
+    if cfg.make_plots:
+        from ..viz import pair_plot, trace_plots, trajectory_fan
+
+        gdir = os.path.join(cfg.graphs_dir, cfg.name, "run1")
+        trace_plots(thetas, gdir, list(model.theta_names))
+        pair_plot(thetas, gdir, list(model.theta_names))
+        trajectory_fan(
+            result.trajectories, gdir, observed=np.asarray(y),
+            latent_truth=latent,
+        )
+    if verbose:
+        print(json.dumps(report, indent=2, default=float))
+    return result, report
+
+
 def run_experiment(cfg: ExperimentConfig, verbose=True):
+    if cfg.algo == "abc":
+        return run_abc(cfg, verbose=verbose)
     import jax
     import jax.numpy as jnp
 
@@ -105,9 +174,20 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     save_dataset(os.path.join(out_root, "dataset.csv"), y)
 
     m = cfg.mcmc
-    theta0 = list(m.theta0 if m.theta0 is not None else cfg.data.theta_true)
-    if m.infer_obs_param:
-        theta0 = theta0 + [cfg.data.obs_param]
+    sigma0 = m.sigma0
+    if cfg.warm_start_dir:
+        # reference warm-restart recipe (tests/test_pmcmc_p.py:34-45)
+        from ..io import warm_start
+
+        ws_theta, ws_sigma = warm_start(cfg.warm_start_dir)
+        theta0 = list(ws_theta)
+        sigma0 = ws_sigma.tolist()
+    else:
+        theta0 = list(
+            m.theta0 if m.theta0 is not None else cfg.data.theta_true
+        )
+        if m.infer_obs_param:
+            theta0 = theta0 + [cfg.data.obs_param]
     obs_kind = (
         "gaussian" if cfg.data.observation == "gaussian" else "binomial"
     )
@@ -133,7 +213,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         n_chains=m.n_chains,
         adaptive=m.adaptive,
         adapt_start=m.adapt_start,
-        sigma=None if m.sigma0 is None else jnp.asarray(m.sigma0, jnp.float32),
+        sigma=None if sigma0 is None else jnp.asarray(sigma0, jnp.float32),
         n_iters=m.n_iters,
         obs_param=cfg.data.obs_param,
         infer_obs_param=m.infer_obs_param,
@@ -190,6 +270,43 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         chains = np.asarray(result.thetas)[:, burn:, :]
         report["gelman_rubin"] = gelman_rubin(chains).tolist()
         report["ess"] = np.asarray(ess(chains)).tolist()
+
+    if cfg.forecast_horizon > 0:
+        # posterior-predictive forecast (reference tests/pred_tmps.py:55-104)
+        from ..mcmc import forecast_from_result
+
+        first = jax.tree_util.tree_map(lambda a: a[0], result)
+        horizon = cfg.forecast_horizon
+        burn = max(1, m.n_iters // 5)
+        thin = max(1, (m.n_iters - burn) // 200)
+        import dataclasses as _dc
+
+        thinned = _dc.replace(
+            first,
+            thetas=first.thetas[burn:],
+            sampled_trajs=first.sampled_trajs[burn:],
+            log_likelihoods=first.log_likelihoods[burn:],
+        )
+        fc = forecast_from_result(
+            model,
+            jax.random.PRNGKey(cfg.seed + 1),
+            thinned,
+            horizon,
+            infer_obs_param=m.infer_obs_param,
+            thin=thin,
+            steps_per_unit=m.steps_per_unit,
+        )
+        np.save(os.path.join(out_root, "forecast.npy"), np.asarray(fc))
+        if cfg.make_plots:
+            from ..viz import forecast_fan
+
+            gdir = os.path.join(cfg.graphs_dir, cfg.name, "run1")
+            forecast_fan(
+                np.asarray(thinned.sampled_trajs)[::thin],
+                np.asarray(fc)[:, 1:],
+                gdir,
+                truth=None,
+            )
 
     if cfg.make_plots:
         from ..viz import multi_chain_traces, plot_pmmh_suite
@@ -248,6 +365,13 @@ PRESETS = {
         ),
         mcmc=MCMCConfig(n_iters=1000, h=0.02, n_particles=100, n_chains=3),
     ),
+    "sir_abc": lambda: ExperimentConfig(
+        name="sir_abc",
+        algo="abc",
+        data=DataConfig(observation="none"),
+        abc=ABCConfig(n_samples=100, threshold=150.0, prior_lo=0.0,
+                      prior_hi=5.0),
+    ),
     "sir_subgroups2": lambda: ExperimentConfig(
         name="sir_subgroups2",
         model="sir_subgroups2",
@@ -274,6 +398,16 @@ def main(argv=None):
     ap.add_argument("--chains", type=int, default=None)
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument(
+        "--forecast", type=int, default=None, metavar="HORIZON",
+        help="posterior-predictive forecast this many time units past the "
+        "data (reference pred_tmps.py)",
+    )
+    ap.add_argument(
+        "--warm-start", type=str, default=None, metavar="RUN_DIR",
+        help="seed theta0/sigma0 from a previous run directory "
+        "(reference warm-restart recipe)",
+    )
     args = ap.parse_args(argv)
 
     if args.sweep:
@@ -304,6 +438,10 @@ def _apply_overrides(cfg, args):
         cfg.mcmc.n_particles = args.particles
     if args.no_plots:
         cfg.make_plots = False
+    if args.forecast is not None:
+        cfg.forecast_horizon = args.forecast
+    if args.warm_start is not None:
+        cfg.warm_start_dir = args.warm_start
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 from .adaptive import Welford
+from .forecast import forecast_from_result, posterior_forecast
 from .pmmh import PMMHResult, particle_mcmc, particle_mcmc_chains, particle_mcmc_jit
 
 __all__ = [
@@ -7,4 +8,6 @@ __all__ = [
     "particle_mcmc",
     "particle_mcmc_chains",
     "particle_mcmc_jit",
+    "posterior_forecast",
+    "forecast_from_result",
 ]

@@ -1,0 +1,120 @@
+"""End-to-end CLI experiment runner tests (the reference's per-script
+workflow: generate -> infer -> persist -> plot, e.g.
+reference tests/test_pmcmc_underreported.py, simulated_data.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from epitpu.cli.configs import (
+    ABCConfig,
+    DataConfig,
+    ExperimentConfig,
+    MCMCConfig,
+    noise_sweep,
+    pobs_sweep,
+    sweep,
+    tmps_sweep,
+)
+from epitpu.cli.run import PRESETS, generate_dataset, main, run_experiment
+
+
+def _tiny_cfg(tmp_path, **kw):
+    return ExperimentConfig(
+        name="tiny",
+        data=DataConfig(t_max=6, observation="binomial", obs_param=0.1),
+        mcmc=MCMCConfig(
+            n_iters=40, h=0.05, n_particles=32, n_chains=2,
+            steps_per_unit=5,
+        ),
+        out_dir=str(tmp_path / "data"),
+        graphs_dir=str(tmp_path / "graphs"),
+        make_plots=False,
+        **kw,
+    )
+
+
+def test_pmmh_experiment_artifacts(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    result, report = run_experiment(cfg, verbose=False)
+    assert result.thetas.shape == (2, 40, 2)
+    run_dir = tmp_path / "data" / "tiny" / "run1"
+    for f in ("thetas.csv", "likelihoods.csv", "log_likelihoods.csv"):
+        assert (run_dir / f).exists()
+    assert "gelman_rubin" in report
+    assert report["summary"]["beta"]["mean"] > 0
+
+
+def test_abc_experiment(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.algo = "abc"
+    cfg.abc = ABCConfig(
+        n_samples=10, threshold=200.0, batch_size=128, steps_per_unit=5
+    )
+    result, report = run_experiment(cfg, verbose=False)
+    assert report["algo"] == "abc"
+    assert len(result.posterior["beta"]) == 10
+    with open(tmp_path / "data" / "tiny" / "posterior.json") as f:
+        post = json.load(f)
+    assert set(post) == {"beta", "gamma"}
+
+
+def test_forecast_artifact(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.forecast_horizon = 3
+    run_experiment(cfg, verbose=False)
+    fc = np.load(tmp_path / "data" / "tiny" / "forecast.npy")
+    assert fc.ndim == 3 and fc.shape[1] == 4 and fc.shape[2] == 3
+    assert np.all(np.isfinite(fc))
+
+
+def test_warm_start_dir(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    run_experiment(cfg, verbose=False)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.name = "tiny2"
+    cfg2.warm_start_dir = str(tmp_path / "data" / "tiny" / "run1")
+    result, report = run_experiment(cfg2, verbose=False)
+    assert np.all(np.isfinite(np.asarray(result.thetas)))
+
+
+def test_config_json_roundtrip():
+    cfg = ExperimentConfig(name="x", algo="abc")
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2.name == "x" and cfg2.algo == "abc"
+    assert isinstance(cfg2.abc, ABCConfig)
+
+
+def test_sweep_presets_enumerate():
+    assert len(list(noise_sweep())) == 6  # reference tests/experiments/noise/
+    assert len(list(pobs_sweep())) == 5  # reference tests/experiments/pobs/
+    assert len(list(tmps_sweep())) == 3  # reference tests/experiments/tmps/
+    names = [c.name for c in sweep(ExperimentConfig(), "data.obs_param", [1, 2])]
+    assert names == ["sir_underreported_obs_param_1",
+                     "sir_underreported_obs_param_2"]
+
+
+def test_all_presets_generate_data():
+    for name, factory in PRESETS.items():
+        cfg = factory()
+        y, latent = generate_dataset(cfg)
+        assert np.all(np.isfinite(y)), name
+        assert y.shape[0] == cfg.data.t_max + 1, name
+
+
+def test_main_dump_config(capsys, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--preset", "sir_underreported", "--dump-config"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads(out)["name"] == "sir_underreported"
+
+
+def test_app_figure(tmp_path):
+    from epitpu.app import make_figure
+
+    fig = make_figure(2.0, 1.0, 480, 20, 8, n_traj=5)
+    out = tmp_path / "overlay.png"
+    fig.savefig(out)
+    assert out.exists() and out.stat().st_size > 1000
