@@ -1,0 +1,266 @@
+"""Fused tau-leap propagation as a single Pallas TPU kernel.
+
+The XLA path (epitpu.sim.tauleap.advance) runs ``steps_per_unit`` substeps as
+a ``lax.scan``; each substep round-trips the particle state and four random
+streams through HBM and pays per-op scheduling overhead.  This kernel keeps
+one chain's particle cloud resident in VMEM for ALL substeps of a one-unit
+propagation and draws randomness from the on-core PRNG
+(``pltpu.prng_random_bits``): one kernel launch replaces the whole substep
+scan, and the only HBM traffic is the state in and out.  Measured on TPU v5e:
+~0.1 ms for 20 substeps x 32 chains x 4096 particles vs ~13 ms for the XLA
+scan path — the particle-propagation cost essentially disappears from the
+PMMH iteration.
+
+Sampling law matches epitpu.sim.samplers.fast_binomial (two-regime binomial:
+exact inverse-CDF below mean 8, Cornish-Fisher-corrected normal above), with
+the normal variate produced by Box-Muller from two on-core uniforms instead
+of a threefry normal — equivalent in distribution, validated against the
+exact SSA in tests/test_ops.py.
+
+STATUS — why this is NOT the default filter path: on the current runtime a
+``pallas_call`` embedded in a ``lax.scan`` body costs ~16 ms of fixed
+per-call overhead per trip (measured: scan of 2 trips = 40 ms, 14 trips =
+229 ms, while 10 pipelined top-level calls average 0.09 ms each).  The
+particle filter and PMMH are sequential scans, so the fused kernel loses to
+the plain XLA substep scan (~60 us/trip) despite being ~100x faster in raw
+kernel time.  Use this op for *top-level pipelined* propagation workloads
+(batched forward simulation, ABC candidate sweeps); revisit as the platform's
+custom-call dispatch improves.
+
+Batching: ``pallas_advance`` accepts ANY leading batch shape on
+(seeds, x, theta) and flattens it into the kernel grid; a ``custom_vmap``
+rule re-expresses ``vmap`` (at any nesting depth — PMMH vmaps chains and
+init attempts) through the same flattening path, because the default
+pallas_call batching rule cannot block scalar SMEM operands.
+
+Layout: the kernel works on x as [C, N/128, 128] compartment planes (lane
+dimension 128); the wrapper transposes from the filter's [..., N, C] layout
+at the boundary (12 KB per call — negligible).
+
+Replaces the reference PF's per-particle joblib Gillespie fan-out
+(reference pmcmc.py:200-220) on the TPU fast path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SMALL_MEAN_MAX = 8.0
+SMALL_K = 24
+_LANES = 128
+
+
+def pallas_advance_available() -> bool:
+    """True when the default backend can run Mosaic TPU kernels."""
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _uniform(shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _normal(shape):
+    """Box-Muller from two on-core uniforms."""
+    u1 = jnp.maximum(_uniform(shape), 1e-12)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _binomial_small_exact(u, n, p):
+    """Exact inverse-CDF, truncated at SMALL_K terms (same scheme as
+    epitpu.sim.samplers._binomial_small_exact).  NOTE: expm1/log1p are not
+    lowered by Mosaic; plain exp/log are accurate enough here (p <= 1/2
+    after the caller's flip, hazards are small)."""
+    p = jnp.clip(p, 0.0, 1.0 - 1e-7)
+    ratio = p / (1.0 - p)
+    pmf = jnp.exp(n * jnp.log(1.0 - p))
+    cdf = pmf
+    x = jnp.zeros_like(u)
+    for k in range(SMALL_K - 1):
+        x = x + (u >= cdf).astype(u.dtype)
+        pmf = jnp.maximum(pmf * (n - k) / (k + 1.0) * ratio, 0.0)
+        cdf = cdf + pmf
+    x = x + (u >= cdf).astype(u.dtype)
+    return jnp.minimum(x, n)
+
+
+def _binomial_normal_cf(z, n, p):
+    lam = n * p
+    sig = jnp.sqrt(jnp.maximum(lam * (1.0 - p), 1e-12))
+    gamma = (1.0 - 2.0 * p) / sig
+    zc = z + gamma * (z * z - 1.0) / 6.0
+    return jnp.clip(jnp.floor(lam + sig * zc + 0.5), 0.0, n)
+
+
+def _binomial(n, p):
+    """Batched two-regime Binomial(n, p) on in-kernel randomness."""
+    p = jnp.clip(p, 0.0, 1.0)
+    flip = p > 0.5
+    p_eff = jnp.where(flip, 1.0 - p, p)
+    lam = n * p_eff
+    u = _uniform(n.shape)
+    z = _normal(n.shape)
+    small = _binomial_small_exact(u, n, p_eff)
+    large = _binomial_normal_cf(z, n, p_eff)
+    x = jnp.where(lam < SMALL_MEAN_MAX, small, large)
+    x = jnp.where(flip, n - x, x)
+    x = jnp.where(p == 0.0, jnp.zeros_like(x), x)
+    return jnp.where(p == 1.0, n, x)
+
+
+def _make_kernel(model, n_steps: int, dt: float):
+    """Kernel over one chain's cloud: x_ref [1, C, n_rows, 128]; per-chain
+    theta in SMEM rows; per-chain PRNG seed in SMEM."""
+    c_dim = model.num_compartments
+    stoich = model.stoich  # np [R, C]
+    source = model.source.tolist()
+    r_dim = int(stoich.shape[0])
+
+    def kernel(seed_ref, theta_ref, x_ref, o_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[pid])
+        theta_vec = jnp.stack(
+            [theta_ref[pid, i] for i in range(model.theta_dim)]
+        )
+
+        def substep(_, x):
+            xs = jnp.stack(x, axis=-1)  # [n_rows, 128, C]
+            rates = model.rate_fn(xs, theta_vec)  # [n_rows, 128, R]
+            counts = []
+            for r in range(r_dim):
+                src = x[source[r]]
+                a_r = jnp.clip(rates[..., r], 0.0)
+                mu = jnp.where(src > 0, a_r / jnp.maximum(src, 1.0), 0.0)
+                p_fire = jnp.clip(1.0 - jnp.exp(-mu * dt), 0.0, 1.0)
+                counts.append(_binomial(src, p_fire))
+            x = list(x)
+            for c in range(c_dim):
+                delta = None
+                for r in range(r_dim):
+                    s = float(stoich[r, c])
+                    if s == 0.0:
+                        continue
+                    term = counts[r] if s == 1.0 else counts[r] * s
+                    delta = term if delta is None else delta + term
+                if delta is not None:
+                    x[c] = x[c] + delta
+            return tuple(x)
+
+        x0 = tuple(x_ref[0, c] for c in range(c_dim))  # each [n_rows, 128]
+        x_final = jax.lax.fori_loop(0, n_steps, substep, x0)
+        for c in range(c_dim):
+            o_ref[0, c] = x_final[c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _pallas_advance_impl(model, seeds, x, theta, t_span, steps_per_unit):
+    """Flat batched implementation: seeds [B] i32, x [B, N, C] f32,
+    theta [B, d] f32 -> [B, N, C]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c_dim = x.shape
+    n_rows = n // _LANES
+    n_steps = int(round(t_span * steps_per_unit))
+    dt = t_span / n_steps
+
+    xp = jnp.transpose(x, (0, 2, 1)).reshape(b, c_dim, n_rows, _LANES)
+    kernel = _make_kernel(model, n_steps, dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, c_dim, n_rows, _LANES), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # theta [B, d]
+            pl.BlockSpec(
+                (1, c_dim, n_rows, _LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_dim, n_rows, _LANES),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(seeds, theta, xp)
+    return jnp.transpose(out.reshape(b, c_dim, n), (0, 2, 1))
+
+
+def make_pallas_advance(model, t_span: float, steps_per_unit: int):
+    """Build the vmap-composable fused propagation op for ``model``.
+
+    Returns ``adv(seeds, x, theta)`` accepting any (matching) leading batch
+    shape: seeds [...], x [..., N, C], theta [..., d].  N must be a multiple
+    of 128 and the model must have one reaction per source compartment (all
+    built-ins do) — callers fall back to the XLA scan path otherwise.
+    """
+    if not model.sources_unique:
+        raise NotImplementedError(
+            "pallas advance requires one reaction per source compartment"
+        )
+
+    @jax.custom_batching.custom_vmap
+    def adv(seeds, x, theta):
+        lead = x.shape[:-2]
+        n, c_dim = x.shape[-2:]
+        if n % _LANES:
+            raise ValueError(f"n_particles must be a multiple of {_LANES}")
+        b = math.prod(lead) if lead else 1
+        seeds_f = jnp.broadcast_to(seeds, lead).reshape(b).astype(jnp.int32)
+        theta_f = jnp.broadcast_to(
+            theta, lead + theta.shape[-1:]
+        ).reshape(b, theta.shape[-1]).astype(jnp.float32)
+        x_f = x.reshape(b, n, c_dim).astype(jnp.float32)
+        out = _pallas_advance_impl(
+            model, seeds_f, x_f, theta_f, t_span, steps_per_unit
+        )
+        return out.reshape(lead + (n, c_dim))
+
+    @adv.def_vmap
+    def _vmap_rule(axis_size, in_batched, seeds, x, theta):
+        sb, xb, tb = in_batched
+        if not xb:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        if not sb:
+            seeds = jnp.broadcast_to(
+                jnp.asarray(seeds)[None], (axis_size,) + jnp.shape(seeds)
+            )
+        if not tb:
+            theta = jnp.broadcast_to(theta[None], (axis_size,) + theta.shape)
+        # re-expressed through `adv` itself, so further vmap levels compose
+        return adv(seeds, x, theta), True
+
+    return adv
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_advance(model, t_span, steps_per_unit):
+    return make_pallas_advance(model, t_span, steps_per_unit)
+
+
+def pallas_advance(model, seeds, x, theta, t_span, steps_per_unit=20):
+    """Drop-in fused propagation (see make_pallas_advance).  seeds: int32
+    per-batch PRNG seeds — derive per step (e.g. ``jax.random.bits``) so
+    streams never repeat."""
+    return _cached_advance(model, float(t_span), int(steps_per_unit))(
+        seeds, x, jnp.asarray(theta, jnp.float32)
+    )
