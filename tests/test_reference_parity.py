@@ -1,0 +1,158 @@
+"""Direct parity against the REFERENCE implementation (imported from
+/root/reference when mounted; skipped otherwise).
+
+BASELINE.md's correctness criterion is that posteriors match the reference
+within Monte-Carlo error.  The posterior is determined by the marginal-
+likelihood estimator the PMMH chain consumes, so the decisive check is that
+our particle filter's log-likelihood estimate agrees in distribution with the
+reference ``particle_filter`` (reference pmcmc.py:123-233) on the same data —
+plus agreement of the forward-simulation law itself (tau-leap vs the
+reference's exact Gillespie SSA).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted"
+)
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def small_dataset():
+    """Small-population SIR dataset so the reference's per-event Python SSA
+    stays fast: pop 500, beta=2, gamma=1, T=10, binomial p=0.3."""
+    import jax.numpy as jnp
+
+    from epitpu.ode import sir_simulate_discrete
+
+    t = np.linspace(0, 10, 100)
+    df = sir_simulate_discrete((480.0, 20.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(7)
+    y = rng.binomial(np.round(latent).astype(int), 0.3).astype(np.float32)
+    return jnp.asarray(y), y
+
+
+def _reference_loglik(y_np, theta, n_particles, reps, seed=0):
+    import pmcmc as ref
+
+    np.random.seed(seed)
+    out = []
+    for _ in range(reps):
+        zetas, _, _ = ref.particle_filter(
+            y_np,
+            ref.ModelType.SIR,
+            np.asarray(theta),
+            observations=False,
+            probs=0.3,
+            n_particles=n_particles,
+            n_population=500,
+            mu=20,
+            jobs=1,
+        )
+        if zetas is not None and zetas[-1] > 0:
+            out.append(np.log(zetas[-1]))
+    return np.array(out)
+
+
+def _ours_loglik(y, theta, n_particles, reps, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.smc import particle_filter_jit
+
+    model = sir_model()
+    obs = get_observation_model("binomial")
+    out = []
+    for r in range(reps):
+        res = particle_filter_jit(
+            model,
+            obs,
+            jax.random.PRNGKey(seed + r),
+            y,
+            jnp.asarray(theta, jnp.float32),
+            0.3,
+            n_particles,
+            500.0,
+            20.0,
+            20,
+            "multinomial",  # the reference's resampling scheme
+        )
+        out.append(float(res.log_likelihood))
+    return np.array(out)
+
+
+def test_filter_loglikelihood_agrees_with_reference(small_dataset):
+    """Mean PF log-likelihood at the true theta agrees between the two
+    implementations within joint Monte-Carlo error."""
+    y, y_np = small_dataset
+    theta = (2.0, 1.0)
+    ref_ll = _reference_loglik(y_np, theta, n_particles=200, reps=8)
+    our_ll = _ours_loglik(y, theta, n_particles=200, reps=8)
+    assert len(ref_ll) >= 6, "reference filter degenerated unexpectedly"
+    se = np.sqrt(ref_ll.var() / len(ref_ll) + our_ll.var() / len(our_ll))
+    diff = abs(ref_ll.mean() - our_ll.mean())
+    assert diff < max(4.0 * se, 1.5), (
+        f"ref {ref_ll.mean():.2f}±{ref_ll.std():.2f} vs "
+        f"ours {our_ll.mean():.2f}±{our_ll.std():.2f} (diff {diff:.2f})"
+    )
+
+
+def test_filter_likelihood_orders_thetas_like_reference(small_dataset):
+    """Both implementations should rank a good theta far above a bad one —
+    the ordering the MH accept/reject consumes."""
+    y, y_np = small_dataset
+    good, bad = (2.0, 1.0), (4.0, 0.3)
+    ref_good = _reference_loglik(y_np, good, 200, 4, seed=1).mean()
+    ref_bad_arr = _reference_loglik(y_np, bad, 200, 4, seed=1)
+    ref_bad = ref_bad_arr.mean() if len(ref_bad_arr) else -np.inf
+    our_good = _ours_loglik(y, good, 200, 4, seed=1).mean()
+    our_bad = _ours_loglik(y, bad, 200, 4, seed=1).mean()
+    assert our_good > our_bad + 3
+    assert ref_good > ref_bad + 3 or not np.isfinite(ref_bad)
+
+
+def test_tauleap_matches_reference_ssa_law():
+    """Daily-grid SIR trajectory moments: our tau-leap vs the reference's
+    exact Gillespie (gillespie_algo.py:10-75), 256 runs each."""
+    import gillespie_algo as ref_g
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_model
+    from epitpu.sim import simulate
+
+    np.random.seed(3)
+    t_max, runs = 6, 256
+    ref_daily = []
+    for _ in range(runs):
+        traj = ref_g.sir_simulate([480, 20, 0], np.array([2.0, 1.0]), t_max, False)
+        times = np.asarray(traj["time"])
+        s = np.asarray(traj["s"]); i = np.asarray(traj["i"]); r = np.asarray(traj["r"])
+        idx = np.searchsorted(times, np.arange(t_max + 1) + 1e-9, "left") - 1
+        idx = np.clip(idx, 0, len(times) - 1)
+        ref_daily.append(np.stack([s[idx], i[idx], r[idx]], axis=1))
+    ref_daily = np.asarray(ref_daily)  # [runs, T+1, 3]
+
+    m = sir_model()
+    x0 = jnp.broadcast_to(jnp.array([480.0, 20.0, 0.0]), (runs, 3))
+    ours = np.asarray(
+        simulate(m, jax.random.PRNGKey(5), x0, jnp.array([2.0, 1.0]),
+                 t_max, 40)
+    )  # [T+1, runs, 3]
+    ours = np.swapaxes(ours, 0, 1)
+
+    mean_err = np.abs(ref_daily.mean(0) - ours.mean(0))
+    # means agree within a few individuals out of 500 at every day
+    assert mean_err.max() < 12.0, mean_err
+    std_ref, std_ours = ref_daily.std(0), ours.std(0)
+    assert np.abs(std_ref - std_ours).max() < 12.0
