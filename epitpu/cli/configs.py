@@ -38,8 +38,10 @@ class MCMCConfig:
     infer_obs_param: bool = False
     steps_per_unit: int = 20
     resampling: str = "systematic"
-    mu: float = 20.0
-    n_population: float = 4820.0
+    # None: derive from data.y0 (sum -> n_population, initial infected -> mu);
+    # set explicitly to override (sequences allowed for subgroup models)
+    mu: Optional[float] = None
+    n_population: Optional[float] = None
     theta0: Optional[Tuple[float, ...]] = None  # default: theta_true
 
 

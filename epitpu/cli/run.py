@@ -162,7 +162,13 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     import jax
     import jax.numpy as jnp
 
-    from ..diag import acceptance_rate, ess, gelman_rubin, summarize_chain
+    from ..diag import (
+        acceptance_rate,
+        ess,
+        gelman_rubin,
+        pool_chains,
+        summarize_chain,
+    )
     from ..io import save_dataset, save_pmmh_run
     from ..mcmc import particle_mcmc_chains
     from ..observe import get_observation_model
@@ -193,14 +199,28 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     )
     obs = get_observation_model(obs_kind)
 
+    # mu / n_population: explicit MCMCConfig values win; otherwise derived
+    # from the dataset's initial state (the reference passes them explicitly
+    # everywhere, e.g. tests/experiments/noise/noise_.1.py:40-41)
     if cfg.model.startswith("sir_subgroups"):
         k = cfg.subgroups
         y0 = np.asarray(cfg.data.y0, dtype=float).reshape(k, 3)
-        n_population = jnp.asarray(y0.sum(axis=1), jnp.float32)
-        mu = jnp.asarray(y0[:, 1], jnp.float32)
+        n_population = jnp.asarray(
+            y0.sum(axis=1) if m.n_population is None else m.n_population,
+            jnp.float32,
+        )
+        mu = jnp.asarray(y0[:, 1] if m.mu is None else m.mu, jnp.float32)
     else:
-        n_population = float(np.sum(cfg.data.y0))
-        mu = float(cfg.data.y0[1] if cfg.model == "sir" else cfg.data.y0[2])
+        n_population = (
+            float(np.sum(cfg.data.y0))
+            if m.n_population is None
+            else float(m.n_population)
+        )
+        mu = (
+            float(cfg.data.y0[1] if cfg.model == "sir" else cfg.data.y0[2])
+            if m.mu is None
+            else float(m.mu)
+        )
 
     t0 = time.time()
     result = particle_mcmc_chains(
@@ -258,10 +278,10 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
             acceptance_rate(np.asarray(result.thetas[c]))
             for c in range(m.n_chains)
         ],
+        # burn-in is applied PER CHAIN before pooling (a flat slice would
+        # discard only chain 0's burn-in)
         "summary": summarize_chain(
-            np.asarray(result.thetas).reshape(-1, len(names))[
-                max(1, total_iters // 10) :
-            ],
+            pool_chains(result.thetas, burn_in=max(1, m.n_iters // 10)),
             names,
         ),
     }

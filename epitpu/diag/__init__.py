@@ -5,6 +5,7 @@ from .stats import (
     gelman_rubin,
     hdi,
     mean_credible_interval,
+    pool_chains,
     posterior_mse,
     running_mean,
     summarize_chain,
@@ -17,6 +18,7 @@ __all__ = [
     "gelman_rubin",
     "hdi",
     "mean_credible_interval",
+    "pool_chains",
     "posterior_mse",
     "running_mean",
     "summarize_chain",

@@ -133,6 +133,18 @@ def burn_thin(samples, burn_in=100, thin=1):
     return np.asarray(samples)[burn_in::thin]
 
 
+def pool_chains(chains, burn_in=0, thin=1):
+    """Apply burn-in and thinning PER CHAIN, then flatten to a single
+    [M * ceil((N - burn_in) / thin), d] sample matrix.  This is the correct
+    way to pool parallel chains for a posterior summary — slicing the
+    flattened chain-major array instead would discard only chain 0's burn-in
+    while keeping every other chain's.  chains: [M, N, d] (or [N, d])."""
+    a = np.asarray(chains)
+    if a.ndim == 2:
+        a = a[None]
+    return a[:, burn_in::thin].reshape(-1, a.shape[-1])
+
+
 def summarize_chain(thetas, names=None, prob=0.95):
     """Per-parameter mean / median / HDI table (the reference prints these at
     the end of every PMCMC script, e.g. tests/test_pmcmc_noisy.py:246-249)."""

@@ -79,6 +79,55 @@ def test_warm_start_dir(tmp_path):
     assert np.all(np.isfinite(np.asarray(result.thetas)))
 
 
+def test_summary_burn_in_applied_per_chain(tmp_path, monkeypatch):
+    """Regression: the pooled posterior summary must exclude EVERY chain's
+    burn-in (round 1 sliced the flattened chain-major array, dropping only
+    chain 0's)."""
+    import epitpu.diag as diag
+
+    captured = {}
+    orig = diag.summarize_chain
+
+    def spy(th, names=None, prob=0.95):
+        captured.setdefault("shape", np.asarray(th).shape)
+        return orig(th, names, prob)
+
+    monkeypatch.setattr(diag, "summarize_chain", spy)
+    cfg = _tiny_cfg(tmp_path)
+    run_experiment(cfg, verbose=False)
+    # 2 chains x (40 iters - 4 burn-in each)
+    assert captured["shape"] == (2 * (40 - 4), 2)
+
+
+def test_mu_npop_config_fields_wired(tmp_path, monkeypatch):
+    """Regression: MCMCConfig.mu / n_population were silently ignored in
+    round 1; explicit values must reach particle_mcmc_chains."""
+    import epitpu.mcmc as mcmc
+
+    captured = {}
+    orig = mcmc.particle_mcmc_chains
+
+    def spy(*args, **kwargs):
+        captured["mu"] = kwargs["mu"]
+        captured["n_population"] = kwargs["n_population"]
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mcmc, "particle_mcmc_chains", spy)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.mcmc.mu = 7.0
+    cfg.mcmc.n_population = 999.0
+    run_experiment(cfg, verbose=False)
+    assert captured["mu"] == 7.0
+    assert captured["n_population"] == 999.0
+
+    # default (None) still derives from data.y0
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.name = "tiny_defaults"
+    run_experiment(cfg2, verbose=False)
+    assert captured["mu"] == 20.0
+    assert captured["n_population"] == 4820.0
+
+
 def test_config_json_roundtrip():
     cfg = ExperimentConfig(name="x", algo="abc")
     cfg2 = ExperimentConfig.from_json(cfg.to_json())

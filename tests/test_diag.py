@@ -113,3 +113,18 @@ def test_summarize_chain():
     s = summarize_chain(th, names=["beta", "gamma"])
     assert abs(s["beta"]["mean"] - 2.0) < 0.02
     assert s["gamma"]["hdi_lo"] < 1.0 < s["gamma"]["hdi_hi"]
+
+
+def test_pool_chains_burns_every_chain():
+    from epitpu.diag import pool_chains
+
+    # burn-in region of BOTH chains carries a sentinel that must vanish
+    chains = np.ones((2, 10, 3))
+    chains[:, :4, :] = 1e6
+    pooled = pool_chains(chains, burn_in=4)
+    assert pooled.shape == (12, 3)
+    assert np.all(pooled == 1.0)
+    # thinning composes
+    assert pool_chains(chains, burn_in=4, thin=2).shape == (6, 3)
+    # 2-D input treated as one chain
+    assert pool_chains(chains[0], burn_in=4).shape == (6, 3)
