@@ -38,6 +38,10 @@ class MCMCConfig:
     infer_obs_param: bool = False
     steps_per_unit: int = 20
     resampling: str = "systematic"
+    # single-chain runs: emit the reference-style live telemetry line (iter,
+    # acceptance ratio, theta, log zeta) every K iterations from inside the
+    # compiled scan (reference pmcmc.py:320-321, 405-406)
+    log_every: int = 0
     # None: derive from data.y0 (sum -> n_population, initial infected -> mu);
     # set explicitly to override (sequences allowed for subgroup models)
     mu: Optional[float] = None
@@ -73,6 +77,12 @@ class ExperimentConfig:
     make_plots: bool = True
     forecast_horizon: int = 0  # >0: posterior-predictive forecast to t=H
     warm_start_dir: str = ""  # previous run dir to seed theta0/sigma0 from
+    # >0: run PMMH in segments of this many iterations, saving a resumable
+    # full-state checkpoint (<out_dir>/<name>/checkpoint.npz) and printing a
+    # live progress line after each segment
+    checkpoint_every: int = 0
+    resume: bool = False  # continue from the checkpoint if one exists
+    profile_dir: str = ""  # wrap the sampler in jax.profiler.trace(dir)
 
     def to_json(self):
         return json.dumps(dataclasses.asdict(self), indent=2)

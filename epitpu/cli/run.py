@@ -156,6 +156,100 @@ def run_abc(cfg: ExperimentConfig, verbose=True):
     return result, report
 
 
+def _run_pmmh_segmented(cfg, sampler_fn, model, obs, y, theta0, common,
+                        out_root, verbose=True):
+    """Drive PMMH in ``cfg.checkpoint_every``-iteration segments (one segment
+    when checkpointing is off).  After each segment: save a resumable
+    full-state checkpoint and print a live progress line (the many-chain
+    equivalent of the reference's per-iteration tqdm stream,
+    reference pmcmc.py:320-321).  Segment concatenation is bit-identical to
+    the unsegmented run (see epitpu.mcmc.particle_mcmc); ``cfg.resume``
+    continues from <out_root>/checkpoint.npz.
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    m = cfg.mcmc
+    seg = cfg.checkpoint_every if cfg.checkpoint_every > 0 else m.n_iters
+    ckpt_path = os.path.join(out_root, "checkpoint.npz")
+    master_key = jax.random.PRNGKey(cfg.seed)
+
+    state = None
+    hist = None  # (thetas [M, rows, d], lls [M, rows], trajs [M, rows, T, C])
+    rows = 0
+    if cfg.resume:
+        from ..io import load_pmmh_checkpoint
+
+        ck = load_pmmh_checkpoint(ckpt_path)
+        if ck is not None:
+            if ck.n_iters != m.n_iters:
+                raise ValueError(
+                    f"checkpoint was written for n_iters={ck.n_iters}, "
+                    f"config asks for {m.n_iters}"
+                )
+            expect = np.asarray(jax.random.key_data(master_key))
+            if not np.array_equal(ck.key_data, expect):
+                raise ValueError(
+                    "checkpoint master key does not match this config's seed"
+                )
+            state = ck.state
+            hist = (ck.thetas, ck.log_likelihoods, ck.sampled_trajs)
+            rows = int(np.asarray(ck.state.step).reshape(-1)[0]) + 1
+            if verbose:
+                print(
+                    f"[pmmh] resuming {cfg.name} from checkpoint at "
+                    f"iter {rows}/{m.n_iters}",
+                    flush=True,
+                )
+
+    t_start = time.time()
+    while rows < m.n_iters:
+        seg_len = min(seg, m.n_iters - rows)
+        result = sampler_fn(
+            model, obs, master_key, y, theta0, m.h,
+            init_state=state, segment_len=seg_len, **common,
+        )
+        new = (
+            np.asarray(result.thetas),
+            np.asarray(result.log_likelihoods),
+            np.asarray(result.sampled_trajs),
+        )
+        hist = new if hist is None else tuple(
+            np.concatenate([h, n], axis=1) for h, n in zip(hist, new)
+        )
+        state = result.final_state
+        rows += seg_len
+        if cfg.checkpoint_every > 0:
+            from ..io import save_pmmh_checkpoint
+
+            save_pmmh_checkpoint(
+                ckpt_path, state, master_key, m.n_iters, *hist,
+                meta={"name": cfg.name, "seed": cfg.seed},
+            )
+        if verbose and (cfg.checkpoint_every > 0 or rows < m.n_iters):
+            acc = np.asarray(state.acceptances, dtype=float) / max(rows, 1)
+            th = np.asarray(state.theta)
+            print(
+                f"[pmmh] {cfg.name}: iter {rows}/{m.n_iters}  "
+                f"elapsed={time.time() - t_start:.1f}s  "
+                f"acc_ratio={float(np.mean(acc)):.3f}  "
+                f"theta_mean=[{', '.join(f'{v:.4g}' for v in th.mean(axis=0))}]  "
+                f"log_zeta_mean={float(np.mean(np.asarray(state.log_likelihood))):.3f}",
+                flush=True,
+            )
+
+    from ..mcmc import PMMHResult
+
+    return PMMHResult(
+        thetas=hist[0],
+        log_likelihoods=hist[1],
+        sampled_trajs=hist[2],
+        acceptances=np.asarray(state.acceptances),
+        final_state=state,
+    )
+
+
 def run_experiment(cfg: ExperimentConfig, verbose=True):
     if cfg.algo == "abc":
         return run_abc(cfg, verbose=verbose)
@@ -222,14 +316,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
             else float(m.mu)
         )
 
-    t0 = time.time()
-    result = particle_mcmc_chains(
-        model,
-        obs,
-        jax.random.PRNGKey(cfg.seed),
-        jnp.asarray(y),
-        jnp.asarray(theta0, jnp.float32),
-        m.h,
+    common = dict(
         n_chains=m.n_chains,
         adaptive=m.adaptive,
         adapt_start=m.adapt_start,
@@ -242,8 +329,30 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         mu=mu,
         steps_per_unit=m.steps_per_unit,
         resampling=m.resampling,
+        # in-scan telemetry only composes with single-chain runs (see
+        # particle_mcmc docstring); many-chain runs get segment progress lines
+        log_every=m.log_every if m.n_chains == 1 else 0,
     )
-    np.asarray(result.thetas)  # block
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(cfg.profile_dir)
+        if cfg.profile_dir
+        else contextlib.nullcontext()
+    )
+    t0 = time.time()
+    with prof:
+        result = _run_pmmh_segmented(
+            cfg,
+            particle_mcmc_chains,
+            model,
+            obs,
+            jnp.asarray(y),
+            jnp.asarray(theta0, jnp.float32),
+            common,
+            out_root,
+            verbose=verbose,
+        )
     elapsed = time.time() - t0
     total_iters = m.n_chains * m.n_iters
 
@@ -428,6 +537,25 @@ def main(argv=None):
         help="seed theta0/sigma0 from a previous run directory "
         "(reference warm-restart recipe)",
     )
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=None, metavar="K",
+        help="segment the run every K iterations: save a resumable "
+        "full-state checkpoint and print live progress",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue bit-compatibly from <out>/<name>/checkpoint.npz",
+    )
+    ap.add_argument(
+        "--log-every", type=int, default=None, metavar="K",
+        help="single-chain runs: stream the in-scan telemetry line every "
+        "K iterations",
+    )
+    ap.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="record a jax.profiler trace of the sampler into DIR "
+        "(view with TensorBoard / xprof)",
+    )
     args = ap.parse_args(argv)
 
     if args.sweep:
@@ -462,6 +590,14 @@ def _apply_overrides(cfg, args):
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:
         cfg.warm_start_dir = args.warm_start
+    if args.checkpoint_every is not None:
+        cfg.checkpoint_every = args.checkpoint_every
+    if args.resume:
+        cfg.resume = True
+    if args.log_every is not None:
+        cfg.mcmc.log_every = args.log_every
+    if args.profile is not None:
+        cfg.profile_dir = args.profile
 
 
 if __name__ == "__main__":

@@ -5,7 +5,14 @@ from .artifacts import (
     save_pmmh_run,
     warm_start,
 )
-from .checkpoint import ChainCheckpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (
+    ChainCheckpoint,
+    PMMHCheckpoint,
+    load_checkpoint,
+    load_pmmh_checkpoint,
+    save_checkpoint,
+    save_pmmh_checkpoint,
+)
 
 __all__ = [
     "load_dataset",
@@ -14,6 +21,9 @@ __all__ = [
     "save_pmmh_run",
     "warm_start",
     "ChainCheckpoint",
+    "PMMHCheckpoint",
     "load_checkpoint",
+    "load_pmmh_checkpoint",
     "save_checkpoint",
+    "save_pmmh_checkpoint",
 ]

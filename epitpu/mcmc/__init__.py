@@ -1,10 +1,17 @@
 from .adaptive import Welford
 from .forecast import forecast_from_result, posterior_forecast
-from .pmmh import PMMHResult, particle_mcmc, particle_mcmc_chains, particle_mcmc_jit
+from .pmmh import (
+    PMMHResult,
+    PMMHState,
+    particle_mcmc,
+    particle_mcmc_chains,
+    particle_mcmc_jit,
+)
 
 __all__ = [
     "Welford",
     "PMMHResult",
+    "PMMHState",
     "particle_mcmc",
     "particle_mcmc_chains",
     "particle_mcmc_jit",

@@ -52,16 +52,37 @@ from .adaptive import Welford
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class PMMHState:
+    """Complete sampler state after some iteration: everything the scan carry
+    holds.  ``particle_mcmc(init_state=...)`` continues the chain from here
+    BIT-COMPATIBLY (the key stream is re-derived from the same master key and
+    indexed by ``step``), which is what makes checkpoint/resume exact — the
+    reference's only restart mechanism is the approximate CSV warm start
+    (reference tests/test_pmcmc_p.py:34-45).  ``step`` is the index of the
+    last produced chain row."""
+
+    theta: jnp.ndarray
+    log_likelihood: jnp.ndarray
+    trajectory: jnp.ndarray
+    welford: Welford
+    acceptances: jnp.ndarray
+    step: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class PMMHResult:
-    """thetas: [n_iters, d]; log_likelihoods: [n_iters] (log of the
-    reference's ``likelihoods``); sampled_trajs: [n_iters, T, C];
+    """thetas: [n_rows, d]; log_likelihoods: [n_rows] (log of the
+    reference's ``likelihoods``); sampled_trajs: [n_rows, T, C];
     acceptances: scalar int (the reference's live acceptance counter,
-    pmcmc.py:323, 396)."""
+    pmcmc.py:323, 396); final_state: the sampler state after the last row,
+    for checkpointing / segment continuation."""
 
     thetas: jnp.ndarray
     log_likelihoods: jnp.ndarray
     sampled_trajs: jnp.ndarray
     acceptances: jnp.ndarray
+    final_state: PMMHState
 
     def acceptance_rate(self):
         return self.acceptances / self.thetas.shape[0]
@@ -109,6 +130,19 @@ def _split_theta(theta, infer_obs_param, fixed_obs_param):
     return theta, fixed_obs_param, theta
 
 
+def _default_telemetry(i, accepts, theta, log_z):
+    """The reference's live tqdm description line (pmcmc.py:320-321,
+    405-406): iteration, acceptance ratio, current theta, log zeta-hat."""
+    i = int(i)
+    ratio = float(accepts) / max(i + 1, 1)
+    th = ", ".join(f"{v:.4g}" for v in jnp.atleast_1d(theta).tolist())
+    print(
+        f"[pmmh] iter={i} acc_ratio={ratio:.3f} theta=[{th}] "
+        f"log_zeta={float(log_z):.4f}",
+        flush=True,
+    )
+
+
 def particle_mcmc(
     model: CompartmentModel,
     obs_loglik,
@@ -130,6 +164,10 @@ def particle_mcmc(
     n_init_attempts: int = 16,
     pool_axes: tuple = (),
     sampler: str = "fast",
+    init_state: Optional[PMMHState] = None,
+    segment_len: Optional[int] = None,
+    log_every: int = 0,
+    telemetry_fn=None,
 ) -> PMMHResult:
     """Run one PMMH chain.  Mirrors ``particle_mcmc`` (reference
     pmcmc.py:251-408) with ``obs_param``/``infer_obs_param`` replacing the
@@ -139,6 +177,26 @@ def particle_mcmc(
     ``jax.jit`` for compilation.  ``parameters`` is the reference's initial
     theta (the MVN proposal is centred on the previous sample; ``parameters``
     only seeds the init search, reference pmcmc.py:276-310).
+
+    Segmented / resumable execution: ``n_iters`` always names the TOTAL chain
+    length (it sizes the per-iteration key stream, ``split(k_chain,
+    n_iters - 1)``; row ``i`` is always produced with key ``keys[i - 1]``
+    regardless of segmentation).  ``segment_len`` limits this call to that
+    many chain rows.  A fresh call (``init_state=None``) produces rows
+    ``0..segment_len-1`` (row 0 from the init search); a resumed call
+    (``init_state`` from a previous result's ``final_state`` or a loaded
+    checkpoint, with the SAME master ``key`` and ``n_iters``) produces rows
+    ``step+1..step+segment_len``.  Because the key-stream position is read
+    from ``init_state.step`` (a traced value), every equal-length resumed
+    segment reuses ONE compiled program.  Concatenating segment results is
+    bit-identical to the single unsegmented run.
+
+    ``log_every > 0`` emits a live telemetry line every that many iterations
+    via ``jax.debug.callback`` — the reference's per-iteration tqdm stream
+    (pmcmc.py:320-321, 405-406).  Intended for unvmapped (single-chain) runs:
+    under ``vmap`` the guard predicate is batched and JAX would run both
+    ``cond`` branches; use the runner's segment-level progress lines for
+    many-chain production runs.
     """
     parameters = jnp.asarray(parameters, jnp.float32)
     d = parameters.shape[0]
@@ -166,37 +224,66 @@ def particle_mcmc(
         chol = jnp.linalg.cholesky(h * cov)
         return center + chol @ z
 
-    # ---- init search: draw candidates around `parameters` until the filter
-    # returns a finite likelihood (reference pmcmc.py:276-310).  Vectorized:
-    # n_init_attempts candidates evaluated in parallel, first valid one wins.
     k_init, k_chain = jax.random.split(key)
-    init_keys = jax.random.split(k_init, n_init_attempts)
+    keys_all = jax.random.split(k_chain, n_iters - 1)
 
-    def init_attempt(k):
-        k_prop, k_f = jax.random.split(k)
-        theta_c = propose(k_prop, parameters, sigma0)
-        nonneg = jnp.all(theta_c >= 0.0)
-        m_theta, o_param, stored = _split_theta(
-            theta_c, infer_obs_param, obs_param
+    if init_state is None:
+        # ---- init search: draw candidates around `parameters` until the
+        # filter returns a finite likelihood (reference pmcmc.py:276-310).
+        # Vectorized: n_init_attempts candidates in parallel, first valid
+        # one wins.
+        init_keys = jax.random.split(k_init, n_init_attempts)
+
+        def init_attempt(k):
+            k_prop, k_f = jax.random.split(k)
+            theta_c = propose(k_prop, parameters, sigma0)
+            nonneg = jnp.all(theta_c >= 0.0)
+            m_theta, o_param, stored = _split_theta(
+                theta_c, infer_obs_param, obs_param
+            )
+            ll, traj = run_filter(
+                key=k_f, y=y, model_theta=m_theta, obs_param=o_param
+            )
+            valid = nonneg & jnp.isfinite(ll)
+            return stored, jnp.where(valid, ll, -jnp.inf), traj, valid
+
+        thetas0, lls0, trajs0, valids0 = jax.vmap(init_attempt)(init_keys)
+        first = jnp.argmax(valids0)  # first True (0 if none valid)
+        theta_init = thetas0[first]
+        ll_init = lls0[first]
+        traj_init = trajs0[first]
+        # if no attempt was valid, start from `parameters` with -inf
+        # likelihood: the first finite proposal is then accepted w.p. 1.
+        any_valid = jnp.any(valids0)
+        theta_init = jnp.where(
+            any_valid, theta_init, jnp.clip(parameters, 0.0)
         )
-        ll, traj = run_filter(key=k_f, y=y, model_theta=m_theta, obs_param=o_param)
-        valid = nonneg & jnp.isfinite(ll)
-        return stored, jnp.where(valid, ll, -jnp.inf), traj, valid
+        ll_init = jnp.where(any_valid, ll_init, -jnp.inf)
 
-    thetas0, lls0, trajs0, valids0 = jax.vmap(init_attempt)(init_keys)
-    first = jnp.argmax(valids0)  # first True (0 if none valid)
-    theta_init = thetas0[first]
-    ll_init = lls0[first]
-    traj_init = trajs0[first]
-    # if no attempt was valid, start from `parameters` with -inf likelihood:
-    # the first finite proposal is then accepted with probability 1.
-    any_valid = jnp.any(valids0)
-    theta_init = jnp.where(any_valid, theta_init, jnp.clip(parameters, 0.0))
-    ll_init = jnp.where(any_valid, ll_init, -jnp.inf)
-
-    # ---- main chain
-    w0 = Welford.init(d)
-    w0 = w0.update(theta_init)  # thetas[0] enters the adaptive history
+        w0 = Welford.init(d)
+        w0 = w0.update(theta_init)  # thetas[0] enters the adaptive history
+        accepts0 = jnp.asarray(1, jnp.int32)
+        step0 = jnp.asarray(0, jnp.int32)  # last produced row index
+        n_rows = n_iters if segment_len is None else segment_len
+        n_scan = n_rows - 1
+        key_start = jnp.asarray(0, jnp.int32)
+    else:
+        theta_init = init_state.theta
+        ll_init = init_state.log_likelihood
+        traj_init = init_state.trajectory
+        w0 = init_state.welford
+        accepts0 = init_state.acceptances
+        step0 = init_state.step
+        if segment_len is None:
+            # the remaining length cannot be derived from the traced step
+            raise ValueError(
+                "resumed calls (init_state given) must pass segment_len — "
+                "the number of new rows to produce"
+            )
+        n_scan = segment_len
+        n_rows = n_scan  # the duplicated init row is NOT re-emitted
+        # row step+1 is produced with keys_all[step]
+        key_start = step0
 
     def step(carry, k):
         theta, ll, traj, w, accepts, i = carry
@@ -233,102 +320,66 @@ def particle_mcmc(
         traj = jnp.where(accept, traj_prop, traj)
         w = w.update(theta)
         accepts = accepts + accept.astype(jnp.int32)
+
+        if log_every:
+            tel = _default_telemetry if telemetry_fn is None else telemetry_fn
+            jax.lax.cond(
+                (i % log_every) == 0,
+                lambda args: jax.debug.callback(tel, *args),
+                lambda args: None,
+                (i, accepts, theta, ll),
+            )
         return (theta, ll, traj, w, accepts, i + 1), (theta, ll, traj)
 
-    keys = jax.random.split(k_chain, n_iters - 1)
-    carry0 = (
-        theta_init,
-        ll_init,
-        traj_init,
-        w0,
-        jnp.asarray(1, jnp.int32),
-        jnp.asarray(1, jnp.int32),
-    )
-    (_, _, _, _, accepts, _), (thetas, lls, trajs) = jax.lax.scan(
-        step, carry0, keys
+    scan_keys = jax.lax.dynamic_slice_in_dim(keys_all, key_start, n_scan)
+    carry0 = (theta_init, ll_init, traj_init, w0, accepts0, step0 + 1)
+    (theta_f, ll_f, traj_f, w_f, accepts, i_f), (thetas, lls, trajs) = (
+        jax.lax.scan(step, carry0, scan_keys)
     )
 
-    thetas = jnp.concatenate([theta_init[None], thetas], axis=0)
-    lls = jnp.concatenate([ll_init[None], lls], axis=0)
-    trajs = jnp.concatenate([traj_init[None], trajs], axis=0)
-    del c_latent, t_len
+    if init_state is None:
+        thetas = jnp.concatenate([theta_init[None], thetas], axis=0)
+        lls = jnp.concatenate([ll_init[None], lls], axis=0)
+        trajs = jnp.concatenate([traj_init[None], trajs], axis=0)
+    final_state = PMMHState(
+        theta=theta_f,
+        log_likelihood=ll_f,
+        trajectory=traj_f,
+        welford=w_f,
+        acceptances=accepts,
+        step=i_f - 1,
+    )
+    del c_latent, t_len, n_rows
     return PMMHResult(
         thetas=thetas,
         log_likelihoods=lls,
         sampled_trajs=trajs,
         acceptances=accepts,
+        final_state=final_state,
     )
 
 
-@partial(
-    jax.jit,
-    static_argnums=(0, 1, 6, 8, 10, 11, 14, 15, 16, 17, 18),
+_STATIC_NAMES = (
+    "model", "obs_loglik", "adaptive", "n_iters", "infer_obs_param",
+    "n_particles", "steps_per_unit", "resampling", "adapt_start",
+    "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
 )
-def particle_mcmc_jit(
-    model,
-    obs_loglik,
-    key,
-    y,
-    parameters,
-    h,
-    adaptive=False,
-    sigma=None,
-    n_iters=1000,
-    obs_param=0.1,
-    infer_obs_param=False,
-    n_particles=1000,
-    n_population=4820,
-    mu=20.0,
-    steps_per_unit=20,
-    resampling="systematic",
-    adapt_start=1000,
-    n_init_attempts=16,
-    sampler="fast",
-):
-    return particle_mcmc(
-        model, obs_loglik, key, y, parameters, h,
-        adaptive=adaptive, sigma=sigma, n_iters=n_iters, obs_param=obs_param,
-        infer_obs_param=infer_obs_param, n_particles=n_particles,
-        n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
-        resampling=resampling, adapt_start=adapt_start,
-        n_init_attempts=n_init_attempts, sampler=sampler,
-    )
 
 
-@partial(
-    jax.jit,
-    static_argnums=(0, 1, 6, 8, 10, 11, 14, 15, 16, 17, 18),
-)
-def _chains_jit(
-    model,
-    obs_loglik,
-    keys,
-    y,
-    parameters,
-    h,
-    adaptive,
-    sigma,
-    n_iters,
-    obs_param,
-    infer_obs_param,
-    n_particles,
-    n_population,
-    mu,
-    steps_per_unit,
-    resampling,
-    adapt_start,
-    n_init_attempts,
-    sampler,
-):
-    fn = lambda k: particle_mcmc(
-        model, obs_loglik, k, y, parameters, h,
-        adaptive=adaptive, sigma=sigma, n_iters=n_iters, obs_param=obs_param,
-        infer_obs_param=infer_obs_param, n_particles=n_particles,
-        n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
-        resampling=resampling, adapt_start=adapt_start,
-        n_init_attempts=n_init_attempts, sampler=sampler,
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def particle_mcmc_jit(model, obs_loglik, key, y, parameters, h, **kwargs):
+    return particle_mcmc(model, obs_loglik, key, y, parameters, h, **kwargs)
+
+
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _chains_jit(model, obs_loglik, keys, y, parameters, h,
+                init_state=None, **kwargs):
+    fn = lambda k, st: particle_mcmc(
+        model, obs_loglik, k, y, parameters, h, init_state=st, **kwargs
     )
-    return jax.vmap(fn)(keys)
+    if init_state is None:
+        return jax.vmap(lambda k: fn(k, None))(keys)
+    return jax.vmap(fn)(keys, init_state)
 
 
 def particle_mcmc_chains(
@@ -352,17 +403,30 @@ def particle_mcmc_chains(
     adapt_start: int = 1000,
     n_init_attempts: int = 16,
     sampler: str = "fast",
+    init_state: Optional[PMMHState] = None,
+    segment_len: Optional[int] = None,
+    log_every: int = 0,
 ) -> PMMHResult:
     """Run ``n_chains`` independent PMMH chains vmapped on one device, as ONE
     compiled XLA program (eager dispatch through the tunneled TPU costs
     ~30 s/call regardless of work — everything must run under jit).
     Result arrays gain a leading chains axis.  The reference's counterpart is
     re-running the script into run1/run2/run3 directories
-    (reference tests/test_pmcmc_noisy.py:254-256)."""
+    (reference tests/test_pmcmc_noisy.py:254-256).
+
+    ``init_state`` (a chain-batched PMMHState, e.g. a previous result's
+    ``final_state`` or a loaded checkpoint) plus ``segment_len`` resume /
+    segment the chains exactly — see ``particle_mcmc``.  Resumed calls must
+    pass the SAME master ``key`` and total ``n_iters``."""
     keys = jax.random.split(key, n_chains)
     return _chains_jit(
         model, obs_loglik, keys, y,
-        jnp.asarray(parameters, jnp.float32), h, adaptive, sigma, n_iters,
-        obs_param, infer_obs_param, n_particles, n_population, mu,
-        steps_per_unit, resampling, adapt_start, n_init_attempts, sampler,
+        jnp.asarray(parameters, jnp.float32), h,
+        init_state=init_state,
+        adaptive=adaptive, sigma=sigma, n_iters=n_iters, obs_param=obs_param,
+        infer_obs_param=infer_obs_param, n_particles=n_particles,
+        n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
+        resampling=resampling, adapt_start=adapt_start,
+        n_init_attempts=n_init_attempts, sampler=sampler,
+        segment_len=segment_len, log_every=log_every,
     )

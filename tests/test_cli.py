@@ -167,3 +167,58 @@ def test_app_figure(tmp_path):
     out = tmp_path / "overlay.png"
     fig.savefig(out)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_checkpoint_kill_resume_bit_compatible(tmp_path, monkeypatch):
+    """End-to-end: a run killed mid-way resumes from checkpoint.npz and
+    produces the SAME chains as the uninterrupted run (VERDICT item 3)."""
+    import epitpu.mcmc as mcmc
+
+    # uninterrupted baseline (no checkpointing)
+    cfg_full = _tiny_cfg(tmp_path)
+    cfg_full.name = "full"
+    res_full, _ = run_experiment(cfg_full, verbose=False)
+
+    # checkpointed run, killed after the first segment
+    calls = {"n": 0}
+    orig = mcmc.particle_mcmc_chains
+
+    def dying(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated kill")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mcmc, "particle_mcmc_chains", dying)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.name = "ckpt"
+    cfg.checkpoint_every = 15
+    with pytest.raises(KeyboardInterrupt):
+        run_experiment(cfg, verbose=False)
+    assert (tmp_path / "data" / "ckpt" / "checkpoint.npz").exists()
+
+    # resume to completion
+    monkeypatch.setattr(mcmc, "particle_mcmc_chains", orig)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.name = "ckpt"
+    cfg2.checkpoint_every = 15
+    cfg2.resume = True
+    res, _ = run_experiment(cfg2, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(res.thetas), np.asarray(res_full.thetas)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.sampled_trajs), np.asarray(res_full.sampled_trajs)
+    )
+
+
+def test_resume_rejects_mismatched_seed(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.checkpoint_every = 20
+    run_experiment(cfg, verbose=False)
+    cfg2 = _tiny_cfg(tmp_path)
+    cfg2.checkpoint_every = 20
+    cfg2.resume = True
+    cfg2.seed = cfg.seed + 1
+    with pytest.raises(ValueError, match="master key"):
+        run_experiment(cfg2, verbose=False)

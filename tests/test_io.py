@@ -98,3 +98,45 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(w2.mean), np.asarray(w.mean))
     np.testing.assert_allclose(np.asarray(w2.m2), np.asarray(w.m2))
     assert load_checkpoint(str(tmp_path / "missing.npz")) is None
+
+
+def test_pmmh_checkpoint_roundtrip(tmp_path):
+    """save_pmmh_checkpoint/load_pmmh_checkpoint preserve a chain-batched
+    PMMHState + history + master key exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.io import load_pmmh_checkpoint, save_pmmh_checkpoint
+    from epitpu.mcmc import PMMHState, Welford
+
+    m, d, t, c = 3, 2, 5, 3
+    rng = np.random.default_rng(0)
+    state = PMMHState(
+        theta=jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+        log_likelihood=jnp.asarray(rng.normal(size=(m,)), jnp.float32),
+        trajectory=jnp.asarray(rng.normal(size=(m, t, c)), jnp.float32),
+        welford=Welford(
+            count=jnp.full((m,), 7.0),
+            mean=jnp.asarray(rng.normal(size=(m, d)), jnp.float32),
+            m2=jnp.asarray(rng.normal(size=(m, d, d)), jnp.float32),
+        ),
+        acceptances=jnp.asarray([3, 4, 5], jnp.int32),
+        step=jnp.asarray([6, 6, 6], jnp.int32),
+    )
+    key = jax.random.PRNGKey(42)
+    hist_th = rng.normal(size=(m, 7, d)).astype(np.float32)
+    hist_ll = rng.normal(size=(m, 7)).astype(np.float32)
+    hist_tr = rng.normal(size=(m, 7, t, c)).astype(np.float32)
+    p = str(tmp_path / "ck.npz")
+    save_pmmh_checkpoint(p, state, key, 100, hist_th, hist_ll, hist_tr,
+                         meta={"name": "x"})
+    ck = load_pmmh_checkpoint(p)
+    assert ck.n_iters == 100
+    assert ck.meta == {"name": "x"}
+    np.testing.assert_array_equal(ck.key_data, np.asarray(jax.random.key_data(key)))
+    np.testing.assert_array_equal(np.asarray(ck.state.theta), np.asarray(state.theta))
+    np.testing.assert_array_equal(
+        np.asarray(ck.state.welford.m2), np.asarray(state.welford.m2)
+    )
+    np.testing.assert_array_equal(ck.thetas, hist_th)
+    assert load_pmmh_checkpoint(str(tmp_path / "nope.npz")) is None

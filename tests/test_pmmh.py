@@ -150,3 +150,100 @@ def test_welford_matches_numpy_cov():
         atol=2e-3,
     )
     np.testing.assert_allclose(np.asarray(w.mean), xs.mean(axis=0), atol=1e-4)
+
+
+def test_segmented_resume_bit_compatible(sir_dataset):
+    """Killing at iteration k and resuming from a PMMHState must reproduce
+    the uninterrupted chain EXACTLY (VERDICT round-1 item 3).  Adaptive on,
+    so the Welford statistics in the state are exercised too."""
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    kw = dict(
+        n_iters=30, obs_param=0.1, n_particles=64, steps_per_unit=5,
+        adaptive=True, adapt_start=5,
+    )
+    key = jax.random.PRNGKey(7)
+    full = particle_mcmc_jit(m, obs, key, y, jnp.array([2.0, 1.0]), 0.05, **kw)
+    seg1 = particle_mcmc_jit(
+        m, obs, key, y, jnp.array([2.0, 1.0]), 0.05, segment_len=12, **kw
+    )
+    assert int(seg1.final_state.step) == 11
+    seg2 = particle_mcmc_jit(
+        m, obs, key, y, jnp.array([2.0, 1.0]), 0.05,
+        init_state=seg1.final_state, segment_len=18, **kw
+    )
+    cat = np.concatenate([np.asarray(seg1.thetas), np.asarray(seg2.thetas)])
+    np.testing.assert_array_equal(cat, np.asarray(full.thetas))
+    np.testing.assert_array_equal(
+        np.concatenate(
+            [np.asarray(seg1.log_likelihoods), np.asarray(seg2.log_likelihoods)]
+        ),
+        np.asarray(full.log_likelihoods),
+    )
+    assert int(seg2.final_state.acceptances) == int(full.final_state.acceptances)
+
+
+def test_segmented_resume_chains_level(sir_dataset):
+    """Same bit-compat property through particle_mcmc_chains (vmapped)."""
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    kw = dict(n_iters=16, obs_param=0.1, n_particles=32, steps_per_unit=5)
+    key = jax.random.PRNGKey(1)
+    args = (m, obs, key, y, jnp.array([2.0, 1.0]), 0.05)
+    full = particle_mcmc_chains(*args, n_chains=3, **kw)
+    a = particle_mcmc_chains(*args, n_chains=3, segment_len=6, **kw)
+    b = particle_mcmc_chains(
+        *args, n_chains=3, init_state=a.final_state, segment_len=10, **kw
+    )
+    cat = np.concatenate([np.asarray(a.thetas), np.asarray(b.thetas)], axis=1)
+    np.testing.assert_array_equal(cat, np.asarray(full.thetas))
+
+
+def test_single_chain_live_telemetry(sir_dataset, capfd):
+    """log_every streams the reference's tqdm-style line from inside the
+    compiled scan (reference pmcmc.py:320-321, 405-406)."""
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    r = particle_mcmc_jit(
+        m, obs, jax.random.PRNGKey(0), y, jnp.array([2.0, 1.0]), 0.05,
+        n_iters=21, obs_param=0.1, n_particles=32, steps_per_unit=5,
+        log_every=5,
+    )
+    np.asarray(r.thetas)  # block so callbacks flush
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("[pmmh] iter=")]
+    assert len(lines) == 4  # iters 5, 10, 15, 20
+    assert "acc_ratio=" in lines[0] and "log_zeta=" in lines[0]
+
+
+def test_forecast_backend_dispatch(sir_dataset, monkeypatch):
+    """posterior_forecast pads to 128 lanes and trims when routed through
+    the fused kernel; off-TPU it must take the XLA path."""
+    import epitpu.mcmc.forecast as fc
+    from epitpu.models import sir_model
+
+    m = sir_model()
+    thetas = jnp.broadcast_to(jnp.array([2.0, 1.0]), (10, 2))
+    states = jnp.broadcast_to(jnp.array([4000.0, 500.0, 320.0]), (10, 3))
+    out = fc.posterior_forecast(
+        m, jax.random.PRNGKey(0), thetas, states, 4, steps_per_unit=5
+    )
+    assert out.shape == (10, 5, 3)
+
+    seen = {}
+
+    def fake_pallas(model, seed, x0, theta, t_max, steps_per_unit):
+        seen["batch"] = x0.shape[0]
+        return jnp.zeros((x0.shape[0], t_max + 1, x0.shape[1]))
+
+    monkeypatch.setattr(fc, "pallas_simulate_supported", lambda m, b: True)
+    monkeypatch.setattr(fc, "pallas_simulate", fake_pallas)
+    out2 = fc.posterior_forecast(
+        m, jax.random.PRNGKey(0), thetas, states, 4, steps_per_unit=5
+    )
+    assert seen["batch"] == 128  # padded to one full lane tile
+    assert out2.shape == (10, 5, 3)  # trimmed back
