@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import CompartmentModel
+from ..ops import pallas_simulate, pallas_simulate_supported
 from ..sim.tauleap import simulate
 
 
@@ -40,15 +41,32 @@ class ABCResult:
     """posterior: dict name -> [n_samples] accepted draws (the reference's
     ``posterior_distr`` dict, abc_algo.py:21); trajectories: [n_samples, T, C]
     accepted simulated trajectories; trials: total candidate count;
-    acceptance_rate: n_samples / trials."""
+    acceptance_rate: n_samples / trials; backend: which simulation path ran
+    ("pallas" fused kernel or "xla" substep scan)."""
 
     posterior: Dict[str, np.ndarray]
     trajectories: np.ndarray
     trials: int
+    backend: str = "xla"
 
     @property
     def acceptance_rate(self):
         return self.trajectories.shape[0] / max(self.trials, 1)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _abc_prep(model: CompartmentModel, key, observed, batch_size: int,
+              lo, hi):
+    """Sample a candidate batch: uniform-prior thetas + Poisson-jittered
+    initial states (reference abc_algo.py:36-40) + an int32 simulation seed."""
+    k_theta, k_init, k_sim = jax.random.split(key, 3)
+    d = lo.shape[0]
+    thetas = lo + (hi - lo) * jax.random.uniform(k_theta, (batch_size, d))
+    x0 = jax.random.poisson(
+        k_init, observed[0], shape=(batch_size,) + observed[0].shape
+    ).astype(jnp.float32)
+    seed = jax.random.randint(k_sim, (), 0, jnp.iinfo(jnp.int32).max)
+    return thetas, x0, seed
 
 
 @partial(jax.jit, static_argnums=(0, 3, 6, 7))
@@ -62,20 +80,36 @@ def _abc_batch(
     t_max: int,
     steps_per_unit: int,
 ):
-    k_theta, k_init, k_sim = jax.random.split(key, 3)
-    d = lo.shape[0]
-    thetas = lo + (hi - lo) * jax.random.uniform(k_theta, (batch_size, d))
-    # Poisson jitter of the observed initial state (reference abc_algo.py:39-40)
-    x0 = jax.random.poisson(
-        k_init, observed[0], shape=(batch_size,) + observed[0].shape
-    ).astype(jnp.float32)
-
+    """XLA path: vmapped substep-scan simulation of the whole batch."""
+    thetas, x0, seed = _abc_prep(model, key, observed, batch_size, lo, hi)
+    k_sim = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     sim = jax.vmap(
         lambda k, x, th: simulate(model, k, x, th, t_max, steps_per_unit),
         in_axes=(0, 0, 0),
     )(jax.random.split(k_sim, batch_size), x0, thetas)  # [K, T, C]
     sim = jnp.swapaxes(sim, 0, 1)  # [T, K, C]
     return thetas, sim
+
+
+def _abc_batch_pallas(
+    model: CompartmentModel,
+    key,
+    observed,
+    batch_size: int,
+    lo,
+    hi,
+    t_max: int,
+    steps_per_unit: int,
+):
+    """Pallas fast path: the whole candidate batch advances in ONE fused
+    kernel launch, one candidate per VPU lane (epitpu.ops.pallas_simulate) —
+    the "top-level pipelined propagation" workload the kernel is built for.
+    Called at top level (not inside jit) so dispatch pipelines."""
+    thetas, x0, seed = _abc_prep(model, key, observed, batch_size, lo, hi)
+    sim = pallas_simulate(
+        model, seed, x0, thetas, t_max, steps_per_unit
+    )  # [K, T, C]
+    return thetas, jnp.swapaxes(sim, 0, 1)  # [T, K, C]
 
 
 def abc_rejection(
@@ -89,10 +123,16 @@ def abc_rejection(
     batch_size: int = 512,
     steps_per_unit: int = 20,
     max_trials: int = 10_000_000,
+    backend: str = "auto",
 ) -> ABCResult:
     """Drop-in capability match for ``abc_algo`` (reference abc_algo.py:17):
     ``priors`` maps parameter name -> (low, high) in the model's flat-theta
     order, e.g. ``{"beta": (0, 5), "gamma": (0, 5)}``.
+
+    ``backend``: "auto" uses the fused Pallas per-lane kernel whenever the
+    hardware and shapes allow (``pallas_simulate_supported``) and the XLA
+    vmapped scan otherwise; "pallas"/"xla" force a path ("pallas" raises if
+    unsupported).
     """
     observed = jnp.asarray(observed_data, jnp.float32)
     t_max = observed.shape[0] - 1
@@ -100,12 +140,27 @@ def abc_rejection(
     lo = jnp.asarray([priors[n][0] for n in names], jnp.float32)
     hi = jnp.asarray([priors[n][1] for n in names], jnp.float32)
 
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if pallas_simulate_supported(model, batch_size)
+            else "xla"
+        )
+    elif backend == "pallas" and not pallas_simulate_supported(
+        model, batch_size
+    ):
+        raise ValueError(
+            "backend='pallas' needs a TPU backend, unique reaction sources, "
+            f"and batch_size % 128 == 0 (got {batch_size})"
+        )
+    batch_fn = _abc_batch_pallas if backend == "pallas" else _abc_batch
+
     acc_thetas, acc_trajs = [], []
     trials = 0
     n_accepted = 0
     while n_accepted < n_samples and trials < max_trials:
         key, k_batch = jax.random.split(key)
-        thetas, sim = _abc_batch(
+        thetas, sim = batch_fn(
             model, k_batch, observed, batch_size, lo, hi, t_max, steps_per_unit
         )
         dist = distance_fn(sim, observed)  # [K]
@@ -123,4 +178,7 @@ def abc_rejection(
     thetas = np.concatenate(acc_thetas)[:n_samples]
     trajs = np.concatenate(acc_trajs)[:n_samples]
     posterior = {n: thetas[:, j] for j, n in enumerate(names)}
-    return ABCResult(posterior=posterior, trajectories=trajs, trials=trials)
+    return ABCResult(
+        posterior=posterior, trajectories=trajs, trials=trials,
+        backend=backend,
+    )

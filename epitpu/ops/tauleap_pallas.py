@@ -120,13 +120,46 @@ def _binomial(n, p):
     return jnp.where(p == 1.0, n, x)
 
 
-def _make_kernel(model, n_steps: int, dt: float):
-    """Kernel over one chain's cloud: x_ref [1, C, n_rows, 128]; per-chain
-    theta in SMEM rows; per-chain PRNG seed in SMEM."""
+def _make_substep(model, dt: float, theta):
+    """One tau-leap substep over a tuple of [n_rows, 128] compartment planes.
+    ``theta`` is either a [d] vector (one parameter set per grid cell) or a
+    [n_rows, 128, d] plane stack (one parameter set PER LANE — every lane an
+    independent candidate); the models' rate functions broadcast both."""
     c_dim = model.num_compartments
     stoich = model.stoich  # np [R, C]
     source = model.source.tolist()
     r_dim = int(stoich.shape[0])
+
+    def substep(_, x):
+        xs = jnp.stack(x, axis=-1)  # [n_rows, 128, C]
+        rates = model.rate_fn(xs, theta)  # [n_rows, 128, R]
+        counts = []
+        for r in range(r_dim):
+            src = x[source[r]]
+            a_r = jnp.clip(rates[..., r], 0.0)
+            mu = jnp.where(src > 0, a_r / jnp.maximum(src, 1.0), 0.0)
+            p_fire = jnp.clip(1.0 - jnp.exp(-mu * dt), 0.0, 1.0)
+            counts.append(_binomial(src, p_fire))
+        x = list(x)
+        for c in range(c_dim):
+            delta = None
+            for r in range(r_dim):
+                s = float(stoich[r, c])
+                if s == 0.0:
+                    continue
+                term = counts[r] if s == 1.0 else counts[r] * s
+                delta = term if delta is None else delta + term
+            if delta is not None:
+                x[c] = x[c] + delta
+        return tuple(x)
+
+    return substep
+
+
+def _make_kernel(model, n_steps: int, dt: float):
+    """Kernel over one chain's cloud: x_ref [1, C, n_rows, 128]; per-chain
+    theta in SMEM rows; per-chain PRNG seed in SMEM."""
+    c_dim = model.num_compartments
 
     def kernel(seed_ref, theta_ref, x_ref, o_ref):
         from jax.experimental import pallas as pl
@@ -137,34 +170,45 @@ def _make_kernel(model, n_steps: int, dt: float):
         theta_vec = jnp.stack(
             [theta_ref[pid, i] for i in range(model.theta_dim)]
         )
-
-        def substep(_, x):
-            xs = jnp.stack(x, axis=-1)  # [n_rows, 128, C]
-            rates = model.rate_fn(xs, theta_vec)  # [n_rows, 128, R]
-            counts = []
-            for r in range(r_dim):
-                src = x[source[r]]
-                a_r = jnp.clip(rates[..., r], 0.0)
-                mu = jnp.where(src > 0, a_r / jnp.maximum(src, 1.0), 0.0)
-                p_fire = jnp.clip(1.0 - jnp.exp(-mu * dt), 0.0, 1.0)
-                counts.append(_binomial(src, p_fire))
-            x = list(x)
-            for c in range(c_dim):
-                delta = None
-                for r in range(r_dim):
-                    s = float(stoich[r, c])
-                    if s == 0.0:
-                        continue
-                    term = counts[r] if s == 1.0 else counts[r] * s
-                    delta = term if delta is None else delta + term
-                if delta is not None:
-                    x[c] = x[c] + delta
-            return tuple(x)
-
+        substep = _make_substep(model, dt, theta_vec)
         x0 = tuple(x_ref[0, c] for c in range(c_dim))  # each [n_rows, 128]
         x_final = jax.lax.fori_loop(0, n_steps, substep, x0)
         for c in range(c_dim):
             o_ref[0, c] = x_final[c]
+
+    return kernel
+
+
+def _make_traj_kernel(model, t_max: int, n_sub: int, dt: float):
+    """Trajectory-recording kernel with PER-LANE parameters: every lane of
+    the [n_rows, 128] tile carries its own (theta, x0) candidate, so one grid
+    cell advances ``n_rows * 128`` independent trajectories and records the
+    state at every integer time.  This is the top-level pipelined-propagation
+    shape (ABC candidate sweeps, posterior-predictive forecasts, app
+    overlays) where the fused kernel wins — see module STATUS note.
+
+    refs: seed [G] SMEM; theta [1, d, n_rows, 128] VMEM;
+    x [1, C, n_rows, 128] VMEM; out [1, t_max+1, C, n_rows, 128] VMEM.
+    """
+    c_dim = model.num_compartments
+
+    def kernel(seed_ref, theta_ref, x_ref, o_ref):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[pid])
+        theta = jnp.stack(
+            [theta_ref[0, j] for j in range(model.theta_dim)], axis=-1
+        )  # [n_rows, 128, d]
+        substep = _make_substep(model, dt, theta)
+        x = tuple(x_ref[0, c] for c in range(c_dim))
+        for c in range(c_dim):
+            o_ref[0, 0, c] = x[c]
+        for t in range(1, t_max + 1):  # static unroll over units
+            x = jax.lax.fori_loop(0, n_sub, substep, x)
+            for c in range(c_dim):
+                o_ref[0, t, c] = x[c]
 
     return kernel
 
@@ -250,6 +294,92 @@ def make_pallas_advance(model, t_span: float, steps_per_unit: int):
         return adv(seeds, x, theta), True
 
     return adv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _pallas_simulate_impl(model, seeds, xp, thetap, t_max, steps_per_unit,
+                          n_rows):
+    """xp [G, C, n_rows, 128], thetap [G, d, n_rows, 128], seeds [G] i32
+    -> [G, t_max+1, C, n_rows, 128]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, c_dim = xp.shape[0], xp.shape[1]
+    d = thetap.shape[1]
+    dt = 1.0 / steps_per_unit
+    kernel = _make_traj_kernel(model, t_max, steps_per_unit, dt)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=jax.ShapeDtypeStruct(
+            (g, t_max + 1, c_dim, n_rows, _LANES), jnp.float32
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [G]
+            pl.BlockSpec(
+                (1, d, n_rows, _LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c_dim, n_rows, _LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_max + 1, c_dim, n_rows, _LANES),
+            lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(seeds, thetap, xp)
+
+
+def pallas_simulate_supported(model, batch: int) -> bool:
+    """Whether the fused per-lane trajectory kernel can run: TPU backend,
+    one reaction per source compartment, batch a multiple of 128 lanes."""
+    return (
+        pallas_advance_available()
+        and model.sources_unique
+        and batch >= _LANES
+        and batch % _LANES == 0
+    )
+
+
+def pallas_simulate(model, seed, x0, theta, t_max, steps_per_unit=20):
+    """Fused batched forward simulation recording integer-time states: ONE
+    kernel launch advances ``B`` independent (theta, x0) candidates through
+    ``t_max * steps_per_unit`` substeps entirely in VMEM with on-core
+    randomness, each candidate in its own VPU lane.
+
+    The device equivalent of the reference's per-candidate Python Gillespie
+    runs aligned to the integer grid (reference abc_algo.py:41-93,
+    pred_tmps.py:55-64), replacing the XLA substep-scan path
+    (epitpu.sim.tauleap.simulate) on the ABC / forecast / app-overlay fast
+    paths — those call it at TOP level (pipelined dispatch), where it is
+    ~100x cheaper than inside a sequential scan (see STATUS note).
+
+    Args: seed scalar int32 (per-cell streams derived); x0 [B, C] float32;
+    theta [B, d] float32; B must satisfy ``pallas_simulate_supported``.
+    Returns [B, t_max+1, C].
+    """
+    x0 = jnp.asarray(x0, jnp.float32)
+    theta = jnp.asarray(theta, jnp.float32)
+    b, c_dim = x0.shape
+    d = theta.shape[-1]
+    if b % _LANES:
+        raise ValueError(f"batch must be a multiple of {_LANES}, got {b}")
+    m = b // _LANES
+    # pack up to 8 sublanes per grid cell (the native 8x128 VPU tile)
+    n_rows = next(r for r in (8, 7, 6, 5, 4, 3, 2, 1) if m % r == 0)
+    g = m // n_rows
+    seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(g, dtype=jnp.int32)
+    xp = x0.reshape(g, n_rows, _LANES, c_dim).transpose(0, 3, 1, 2)
+    thetap = theta.reshape(g, n_rows, _LANES, d).transpose(0, 3, 1, 2)
+    out = _pallas_simulate_impl(
+        model, seeds, xp, thetap, int(t_max), int(steps_per_unit), n_rows
+    )  # [G, T+1, C, rows, 128]
+    return out.transpose(0, 3, 4, 1, 2).reshape(b, t_max + 1, c_dim)
 
 
 @functools.lru_cache(maxsize=None)

@@ -91,7 +91,11 @@ def particle_filter(
     if axis_name is None:
         n_total = n_particles
         shard_offset = 0
-        shard_index = None
+        # fold in a zero "shard index" so the unsharded filter consumes the
+        # EXACT key stream of a 1-shard sharded run — sharded(P=1) is then
+        # bit-identical to unsharded, which tests/test_dist.py asserts
+        shard_index = jnp.asarray(0, jnp.int32)
+        key_init = jax.random.fold_in(key_init, shard_index)
     else:
         n_shards = jax.lax.psum(1, axis_name)
         n_total = n_particles * n_shards
@@ -128,6 +132,7 @@ def particle_filter(
         if axis_name is None:
             anc, _ = resampler(k_res, logw)  # [N] int32
             x_res = jnp.take(x, anc, axis=0)
+            k_prop = jax.random.fold_in(k_prop, shard_index)
         else:
             logw_all = jax.lax.all_gather(logw, axis_name, tiled=True)  # [Ntot]
             x_all = jax.lax.all_gather(x, axis_name, tiled=True)  # [Ntot, C]

@@ -82,3 +82,69 @@ def test_abc_impossible_threshold_raises(observed_sir):
             batch_size=64,
             max_trials=256,
         )
+
+
+def test_backend_dispatch_cpu_falls_back_to_xla(sir_dataset):
+    """On a CPU backend "auto" must select the XLA path and record it."""
+    import jax
+
+    from epitpu.abc import abc_rejection
+    from epitpu.models import sir_model
+
+    y, _ = sir_dataset
+    res = abc_rejection(
+        sir_model(), jax.random.PRNGKey(0), y[:5], n_samples=4,
+        threshold=500.0, priors={"beta": (0, 5), "gamma": (0, 5)},
+        batch_size=128, steps_per_unit=5,
+    )
+    assert res.backend == "xla"
+
+
+def test_backend_pallas_forced_raises_off_tpu(sir_dataset):
+    import jax
+    import pytest
+
+    from epitpu.abc import abc_rejection
+    from epitpu.models import sir_model
+
+    y, _ = sir_dataset
+    with pytest.raises(ValueError, match="pallas"):
+        abc_rejection(
+            sir_model(), jax.random.PRNGKey(0), y[:5], n_samples=2,
+            threshold=500.0, priors={"beta": (0, 5), "gamma": (0, 5)},
+            batch_size=128, steps_per_unit=5, backend="pallas",
+        )
+
+
+def test_backend_dispatch_uses_pallas_when_supported(sir_dataset, monkeypatch):
+    """When the fused kernel is supported, "auto" must route the batch
+    through it (kernel faked here — real-kernel validation is the TPU-gated
+    tests in test_ops.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    import epitpu.abc.rejection as rej
+    from epitpu.models import sir_model
+    from epitpu.sim import simulate
+
+    calls = {"n": 0}
+
+    def fake_pallas_simulate(model, seed, x0, theta, t_max, steps_per_unit):
+        calls["n"] += 1
+        k = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        return jax.vmap(
+            lambda kk, x, th: simulate(model, kk, x[None], th, t_max,
+                                       steps_per_unit)[:, 0, :]
+        )(jax.random.split(k, x0.shape[0]), x0, theta)
+
+    monkeypatch.setattr(rej, "pallas_simulate_supported", lambda m, b: True)
+    monkeypatch.setattr(rej, "pallas_simulate", fake_pallas_simulate)
+    y, _ = sir_dataset
+    res = rej.abc_rejection(
+        sir_model(), jax.random.PRNGKey(0), y[:5], n_samples=4,
+        threshold=500.0, priors={"beta": (0, 5), "gamma": (0, 5)},
+        batch_size=128, steps_per_unit=5,
+    )
+    assert res.backend == "pallas"
+    assert calls["n"] >= 1
+    assert res.trajectories.shape[1:] == (5, 3)

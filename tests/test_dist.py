@@ -98,3 +98,72 @@ def test_sharded_pmmh_pooled_adaptation(sir_dataset):
         pooled_adaptation=True,
     )
     assert np.isfinite(np.asarray(res.thetas)).all()
+
+
+def test_one_shard_sharded_equals_unsharded_exactly(sir_dataset):
+    """Deterministic sharding check (VERDICT item 9): a 1-shard sharded
+    filter consumes the identical key stream as the unsharded filter, so
+    every output must match BIT-EXACTLY — a missed psum or stream divergence
+    cannot hide inside a statistical tolerance."""
+    from epitpu.smc import particle_filter_jit
+
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    mesh = make_mesh(
+        n_chain_shards=1, n_particle_shards=1, devices=jax.devices()[:1]
+    )
+    key = jax.random.PRNGKey(11)
+    res_s = sharded_particle_filter(mesh, m, obs, key, y, THETA, 0.1, 128)
+    res_u = particle_filter_jit(m, obs, key, y, THETA, 0.1, 128)
+    np.testing.assert_array_equal(
+        np.asarray(res_s.log_likelihood), np.asarray(res_u.log_likelihood)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_s.log_zetas), np.asarray(res_u.log_zetas)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_s.hidden), np.asarray(res_u.hidden)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_s.ancestry), np.asarray(res_u.ancestry)
+    )
+
+
+def test_sharded_likelihood_variance_shrinks(sir_dataset):
+    """The sharded filter at 4x the global particle count must estimate the
+    log-likelihood with LOWER variance than the per-shard count alone —
+    i.e. the shards genuinely cooperate through the collectives instead of
+    running four independent small filters."""
+    from epitpu.smc import particle_filter_jit
+
+    y, _ = sir_dataset
+    y = y[:9]
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    mesh = make_mesh(n_chain_shards=1, n_particle_shards=4)
+    reps = 16
+    small = [
+        float(
+            particle_filter_jit(
+                m, obs, jax.random.PRNGKey(i), y, THETA, 0.1, 48,
+                steps_per_unit=10,
+            ).log_likelihood
+        )
+        for i in range(reps)
+    ]
+    big = [
+        float(
+            sharded_particle_filter(
+                mesh, m, obs, jax.random.PRNGKey(100 + i), y, THETA, 0.1,
+                192, steps_per_unit=10,
+            ).log_likelihood
+        )
+        for i in range(reps)
+    ]
+    assert np.all(np.isfinite(small)) and np.all(np.isfinite(big))
+    assert np.var(big) < np.var(small), (np.var(big), np.var(small))
+    # and the two estimators agree in expectation (PF is unbiased in Z, so
+    # log estimates agree within a few sigma)
+    se = np.sqrt(np.var(small) / reps + np.var(big) / reps)
+    assert abs(np.mean(big) - np.mean(small)) < 5 * se + 0.5
