@@ -501,6 +501,21 @@ PRESETS = {
         abc=ABCConfig(n_samples=100, threshold=150.0, prior_lo=0.0,
                       prior_hi=5.0),
     ),
+    "sir_subgroups": lambda: ExperimentConfig(
+        # per-group observations (reference ModelType.SIR_SUBGROUPS;
+        # tests/test_pmcmc_sir_subgrps.py:24-39)
+        name="sir_subgroups",
+        model="sir_subgroups",
+        subgroups=2,
+        data=DataConfig(
+            y0=(2000.0, 30.0, 0.0, 3000.0, 40.0, 0.0),
+            theta_true=(5.0, 2.0, 1.0, 3.0, 0.5),
+            t_max=10,
+            observation="binomial",
+            obs_param=0.1,
+        ),
+        mcmc=MCMCConfig(n_iters=500, h=0.02, n_particles=100, n_chains=2),
+    ),
     "sir_subgroups2": lambda: ExperimentConfig(
         name="sir_subgroups2",
         model="sir_subgroups2",

@@ -247,3 +247,47 @@ def test_forecast_backend_dispatch(sir_dataset, monkeypatch):
     )
     assert seen["batch"] == 128  # padded to one full lane tile
     assert out2.shape == (10, 5, 3)  # trimmed back
+
+
+def test_subgroup_pergroup_pmmh_posterior_recovery():
+    """Full PMMH on the per-group-observation subgroup model (reference
+    ModelType.SIR_SUBGROUPS, tests/test_pmcmc_sir_subgrps.py:24-39):
+    a short adaptive chain on simulated 2-group data must stay finite, mix,
+    and bracket gamma while ranking the true beta rows sensibly."""
+    from epitpu.models import sir_subgroups_model
+    from epitpu.ode import sir_subgroups_simulate_discrete
+
+    k = 2
+    y0 = np.array([[400.0, 10.0, 0.0], [600.0, 15.0, 0.0]])
+    beta_true = np.array([[5.0, 2.0], [1.0, 3.0]])
+    gamma_true = 0.5
+    t = np.linspace(0, 8, 100)
+    df = sir_subgroups_simulate_discrete(y0, t, beta_true, gamma_true)
+    latent = df.drop(columns=["time"]).to_numpy()  # [T+1, 6] per-group
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(
+        rng.binomial(np.round(latent).astype(int), 0.3).astype(np.float32)
+    )
+
+    m = sir_subgroups_model(k=k, aggregated_obs=False)
+    obs = get_observation_model("binomial")
+    theta0 = jnp.asarray(
+        list(beta_true.reshape(-1)) + [gamma_true], jnp.float32
+    )
+    res = particle_mcmc_chains(
+        m, obs, jax.random.PRNGKey(0), y, theta0, 0.02,
+        n_chains=2, n_iters=150, obs_param=0.3, n_particles=64,
+        n_population=jnp.asarray(y0.sum(axis=1), jnp.float32),
+        mu=jnp.asarray(y0[:, 1], jnp.float32),
+        steps_per_unit=10, adaptive=True, adapt_start=40,
+    )
+    th = np.asarray(res.thetas)  # [2, 150, 5]
+    assert th.shape == (2, 150, 5)
+    assert np.isfinite(th).all()
+    # the chains moved (proposals were accepted on the 5-d posterior)
+    assert len(np.unique(th[0], axis=0)) > 5
+    post = th[:, 50:, :].reshape(-1, 5)
+    # gamma is strongly identified by per-group observations
+    lo, hi = np.quantile(post[:, 4], [0.01, 0.99])
+    assert lo < gamma_true < hi, (lo, gamma_true, hi)
+    assert abs(post[:, 4].mean() - gamma_true) < 0.3

@@ -156,3 +156,78 @@ def test_tauleap_matches_reference_ssa_law():
     assert mean_err.max() < 12.0, mean_err
     std_ref, std_ours = ref_daily.std(0), ours.std(0)
     assert np.abs(std_ref - std_ours).max() < 12.0
+
+
+def test_subgroup_tauleap_matches_reference_ssa_law():
+    """The merged 2K-reaction construction (epitpu.models.subgroups: one
+    infection reaction per TARGET group with the transposed-beta force of
+    infection) must reproduce the law of the reference's K^2+K-reaction SSA
+    (gillespie_algo.py:148-233, rate betas[pop,pop2]*s_pop2*i_pop/sum(N)
+    moving s_pop2 -> i_pop2).  Daily-grid moment comparison, 192 runs."""
+    import gillespie_algo as ref_g
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_subgroups_model
+    from epitpu.sim import simulate
+
+    np.random.seed(11)
+    pop = np.array([[200, 10, 0], [300, 15, 0]], dtype=float)
+    betas = np.array([[5.0, 2.0], [1.0, 3.0]])
+    gamma = 0.5
+    t_max, runs = 4, 192
+
+    comps = [f"{c}_{g}" for g in range(2) for c in ("s", "i", "r")]
+    ref_daily = []
+    for _ in range(runs):
+        traj = ref_g.sir_subgroups_simulate(pop, betas, gamma, t_max, False)
+        times = np.asarray(traj["time"])
+        idx = np.searchsorted(times, np.arange(t_max + 1) + 1e-9, "left") - 1
+        idx = np.clip(idx, 0, len(times) - 1)
+        ref_daily.append(
+            np.stack([np.asarray(traj[c])[idx] for c in comps], axis=1)
+        )
+    ref_daily = np.asarray(ref_daily)  # [runs, T+1, 6]
+
+    m = sir_subgroups_model(k=2)
+    theta = jnp.asarray(list(betas.reshape(-1)) + [gamma], jnp.float32)
+    x0 = jnp.broadcast_to(
+        jnp.asarray(pop.reshape(-1), jnp.float32), (runs, 6)
+    )
+    ours = np.asarray(
+        simulate(m, jax.random.PRNGKey(2), x0, theta, t_max, 40)
+    )  # [T+1, runs, 6]
+    ours = np.swapaxes(ours, 0, 1)
+
+    mean_err = np.abs(ref_daily.mean(0) - ours.mean(0))
+    assert mean_err.max() < 10.0, mean_err
+    std_err = np.abs(ref_daily.std(0) - ours.std(0))
+    assert std_err.max() < 10.0, std_err
+
+
+def test_subgroup_untransposed_variant_differs():
+    """Sanity check on the transpose quirk documentation: with an asymmetric
+    beta matrix the reference_dynamics (transposed) and textbook
+    (untransposed) variants must produce measurably different mean dynamics —
+    i.e. the flag is load-bearing, the parity above is not vacuous."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_subgroups_model
+    from epitpu.sim import simulate
+
+    pop = jnp.broadcast_to(
+        jnp.asarray([200.0, 10.0, 0.0, 300.0, 15.0, 0.0]), (256, 6)
+    )
+    # off-diagonals must differ, or the transpose is a no-op
+    theta = jnp.asarray([5.0, 3.0, 0.1, 1.0, 0.5], jnp.float32)
+    m_ref = sir_subgroups_model(k=2, reference_dynamics=True)
+    m_txt = sir_subgroups_model(k=2, reference_dynamics=False)
+    a = np.asarray(
+        simulate(m_ref, jax.random.PRNGKey(0), pop, theta, 4, 20)
+    ).mean(1)
+    b = np.asarray(
+        simulate(m_txt, jax.random.PRNGKey(0), pop, theta, 4, 20)
+    ).mean(1)
+    assert np.abs(a[-1] - b[-1]).max() > 5.0
