@@ -462,6 +462,55 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     return result, report
 
 
+def run_sweep(sweep_name, cfgs, verbose=True):
+    """Run every level of a sweep, then aggregate the cross-level analysis
+    the reference performs by hand at the end of its noise / pobs / tmps
+    studies (reference tests/test_noise.py:113-116, test_under.py:118-122,
+    test_timepoints.py:98-101): per-parameter posterior MSE against
+    theta_true, pooled ESS, and acceptance per level.  Writes
+    ``<out_dir>/<sweep_name>/sweep_summary.json`` and a comparison plot."""
+    import json
+
+    from ..diag import pool_chains, posterior_mse
+
+    cfgs = list(cfgs)
+    levels = []
+    for cfg in cfgs:
+        result, report = run_experiment(cfg, verbose=verbose)
+        burn = max(1, cfg.mcmc.n_iters // 10)
+        post = pool_chains(np.asarray(result.thetas), burn_in=burn)
+        true = list(cfg.data.theta_true)
+        pmse = [
+            posterior_mse(t, post[:, j]) for j, t in enumerate(true)
+        ]
+        levels.append({
+            "name": cfg.name,
+            # the swept value is the name suffix the sweep generator appends
+            "level": cfg.name.rsplit("_", 1)[-1],
+            "theta_true": true,
+            "pmse": pmse,
+            "pmse_mean": float(np.mean(pmse)),
+            "acceptance": report["acceptance"],
+            "ess": report.get("ess"),
+            "summary": report["summary"],
+        })
+
+    out_root = os.path.join(cfgs[0].out_dir, sweep_name)
+    os.makedirs(out_root, exist_ok=True)
+    summary = {"sweep": sweep_name, "levels": levels}
+    with open(os.path.join(out_root, "sweep_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    if cfgs[0].make_plots:
+        from ..viz import sweep_comparison_plot
+
+        sweep_comparison_plot(
+            levels, os.path.join(cfgs[0].graphs_dir, sweep_name)
+        )
+    if verbose:
+        print(json.dumps(summary, indent=2, default=float))
+    return summary
+
+
 SWEEPS = {"noise": noise_sweep, "pobs": pobs_sweep, "tmps": tmps_sweep}
 
 PRESETS = {
@@ -574,9 +623,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.sweep:
+        cfgs = []
         for cfg in SWEEPS[args.sweep]():
             _apply_overrides(cfg, args)
-            run_experiment(cfg)
+            cfgs.append(cfg)
+        run_sweep(args.sweep, cfgs)
         return 0
 
     if args.config:

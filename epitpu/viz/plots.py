@@ -84,6 +84,87 @@ def pair_plot(thetas, directory, names=None, name="pair.png"):
     return _save(fig, directory, name)
 
 
+def kde_pair_plot(thetas, directory, names=None, name="pair_kde.png"):
+    """Smoothed-density posterior pair plot: 1-D Gaussian KDE curves on the
+    diagonal, 2-D KDE contour fills off-diagonal — the reference's seaborn
+    ``kdeplot`` figures (beta_gamma2/3.png,
+    reference tests/test_pmcmc_noisy.py:150-178) without a seaborn
+    dependency (scipy.stats.gaussian_kde)."""
+    from scipy.stats import gaussian_kde
+
+    plt = _plt()
+    th = np.asarray(thetas, dtype=float)
+    d = th.shape[1]
+    names = names or [f"theta_{j}" for j in range(d)]
+    fig, axes = plt.subplots(d, d, figsize=(2.6 * d, 2.6 * d))
+    if d == 1:
+        axes = np.array([[axes]])
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i, j]
+            xi, xj = th[:, i], th[:, j]
+            try:
+                if i == j:
+                    grid = np.linspace(xi.min(), xi.max(), 200)
+                    span = grid[-1] - grid[0]
+                    if span <= 0:  # degenerate chain
+                        ax.hist(xi, bins=10, density=True)
+                    else:
+                        ax.plot(grid, gaussian_kde(xi)(grid))
+                        ax.fill_between(
+                            grid, gaussian_kde(xi)(grid), alpha=0.3
+                        )
+                else:
+                    kde = gaussian_kde(np.vstack([xj, xi]))
+                    gx = np.linspace(xj.min(), xj.max(), 60)
+                    gy = np.linspace(xi.min(), xi.max(), 60)
+                    mx, my = np.meshgrid(gx, gy)
+                    z = kde(np.vstack([mx.ravel(), my.ravel()])).reshape(
+                        mx.shape
+                    )
+                    ax.contourf(mx, my, z, levels=8, cmap="viridis")
+            except np.linalg.LinAlgError:
+                # singular covariance (constant chain segment): fall back
+                ax.scatter(xj, xi, s=2, alpha=0.3)
+            if i == d - 1:
+                ax.set_xlabel(names[j])
+            if j == 0:
+                ax.set_ylabel(names[i])
+    return _save(fig, directory, name)
+
+
+def sweep_comparison_plot(levels, directory, name="sweep_pmse.png"):
+    """Cross-level comparison for experiment sweeps: posterior MSE per
+    parameter, pooled ESS, and acceptance rate against the swept level —
+    the analysis the reference prints at the end of its noise / pobs / tmps
+    studies (reference tests/test_noise.py:113-116, test_under.py:118-122,
+    test_timepoints.py:98-101).
+
+    ``levels``: list of dicts with keys name, pmse [d], acceptance, ess
+    (as produced by epitpu.cli.run.run_sweep)."""
+    plt = _plt()
+    labels = [str(lv.get("level", lv["name"])) for lv in levels]
+    pmse = np.asarray([lv["pmse"] for lv in levels], dtype=float)  # [L, d]
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
+    for j in range(pmse.shape[1]):
+        axes[0].plot(labels, pmse[:, j], marker="o", label=f"theta_{j}")
+    axes[0].set_yscale("log")
+    axes[0].set_ylabel("posterior MSE")
+    axes[0].legend(fontsize=7)
+    ess = [
+        float(np.mean(lv["ess"])) if lv.get("ess") is not None else np.nan
+        for lv in levels
+    ]
+    axes[1].plot(labels, ess, marker="o")
+    axes[1].set_ylabel("ESS (pooled chains)")
+    acc = [float(np.mean(lv["acceptance"])) for lv in levels]
+    axes[2].plot(labels, acc, marker="o")
+    axes[2].set_ylabel("acceptance rate")
+    for ax in axes:
+        ax.set_xlabel("sweep level")
+    return _save(fig, directory, name)
+
+
 def likelihood_plot(log_likelihoods, directory, name="likelihoods.png"):
     plt = _plt()
     fig, ax = plt.subplots(figsize=(7, 3.2))
@@ -222,6 +303,7 @@ def plot_pmmh_suite(
     paths = []
     paths += trace_plots(th, directory, theta_names)
     paths.append(pair_plot(th, directory, theta_names))
+    paths.append(kde_pair_plot(th, directory, theta_names))
     paths.append(likelihood_plot(np.asarray(result.log_likelihoods), directory))
     paths.append(
         trajectory_fan(

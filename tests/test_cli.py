@@ -222,3 +222,39 @@ def test_resume_rejects_mismatched_seed(tmp_path):
     cfg2.seed = cfg.seed + 1
     with pytest.raises(ValueError, match="master key"):
         run_experiment(cfg2, verbose=False)
+
+
+def test_run_sweep_summary_artifact(tmp_path):
+    """A sweep must end in the reference's cross-level analysis: per-level
+    posterior MSE + ESS + acceptance in sweep_summary.json and a comparison
+    plot (reference tests/test_noise.py:113-116)."""
+    from epitpu.cli.configs import sweep as sweep_gen
+    from epitpu.cli.run import run_sweep
+
+    base = _tiny_cfg(tmp_path)
+    base.make_plots = True
+    cfgs = list(sweep_gen(base, "data.obs_param", [0.1, 0.3]))
+    summary = run_sweep("mini", cfgs, verbose=False)
+    assert [lv["level"] for lv in summary["levels"]] == ["0.1", "0.3"]
+    for lv in summary["levels"]:
+        assert len(lv["pmse"]) == 2
+        assert all(np.isfinite(lv["pmse"]))
+        assert lv["ess"] is not None
+    with open(tmp_path / "data" / "mini" / "sweep_summary.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["sweep"] == "mini"
+    assert (tmp_path / "graphs" / "mini" / "sweep_pmse.png").exists()
+    # better observations should not hurt the posterior badly: PMSE at
+    # p=0.3 within an order of magnitude of p=0.1 (sanity, not strict)
+    assert summary["levels"][1]["pmse_mean"] < 100 * max(
+        summary["levels"][0]["pmse_mean"], 1e-6
+    )
+
+
+def test_kde_pair_plot(tmp_path):
+    from epitpu.viz import kde_pair_plot
+
+    rng = np.random.default_rng(0)
+    th = rng.normal([2.0, 1.0], [0.2, 0.1], size=(500, 2))
+    p = kde_pair_plot(th, str(tmp_path), names=["beta", "gamma"])
+    assert os.path.exists(p) and os.stat(p).st_size > 5000
