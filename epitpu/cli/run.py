@@ -620,7 +620,19 @@ def main(argv=None):
         help="record a jax.profiler trace of the sampler into DIR "
         "(view with TensorBoard / xprof)",
     )
+    ap.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-host JAX runtime before running (env triple "
+        "EPITPU_COORDINATOR/EPITPU_NUM_PROCESSES/EPITPU_PROCESS_ID, or "
+        "cloud auto-detection; see epitpu.dist.multihost)",
+    )
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        # must happen before anything touches a JAX backend
+        from ..dist import initialize_multihost
+
+        initialize_multihost()
 
     if args.sweep:
         cfgs = []

@@ -5,6 +5,11 @@ from .mesh import (
     sharded_particle_filter,
     sharded_pmmh,
 )
+from .multihost import (
+    initialize_multihost,
+    is_primary_host,
+    multihost_env_spec,
+)
 
 __all__ = [
     "CHAIN_AXIS",
@@ -12,4 +17,7 @@ __all__ = [
     "make_mesh",
     "sharded_particle_filter",
     "sharded_pmmh",
+    "initialize_multihost",
+    "is_primary_host",
+    "multihost_env_spec",
 ]

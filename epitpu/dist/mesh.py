@@ -12,8 +12,10 @@ single-host joblib process pool over particles (reference pmcmc.py:8,
     ``shard_map`` + per-device ``vmap``, with optional *pooled* adaptive
     covariance via collectives (epitpu.mcmc.adaptive.Welford.pooled) — a
     capability the reference lacks;
-  * multi-host: the same mesh spans hosts (``jax.distributed.initialize`` at
-    program start); chain shards ride DCN, particle shards stay intra-slice.
+  * multi-host: the same mesh spans hosts once
+    ``epitpu.dist.multihost.initialize_multihost()`` has joined the runtime
+    (CLI: ``--multihost``); chain shards ride DCN, particle shards stay
+    intra-slice.
 """
 from __future__ import annotations
 

@@ -167,3 +167,35 @@ def test_sharded_likelihood_variance_shrinks(sir_dataset):
     # log estimates agree within a few sigma)
     se = np.sqrt(np.var(small) / reps + np.var(big) / reps)
     assert abs(np.mean(big) - np.mean(small)) < 5 * se + 0.5
+
+
+def test_multihost_init_is_single_host_noop(monkeypatch):
+    """With no coordinator env and no cloud auto-detection markers,
+    initialize_multihost must be a safe no-op returning False."""
+    from epitpu.dist import initialize_multihost, multihost_env_spec
+
+    for k in ("EPITPU_COORDINATOR", "TPU_WORKER_HOSTNAMES", "SLURM_JOB_ID",
+              "MEGASCALE_COORDINATOR_ADDRESS", "OMPI_MCA_orte_hnp_uri"):
+        monkeypatch.delenv(k, raising=False)
+    assert multihost_env_spec() is None
+    assert initialize_multihost() is False
+
+
+def test_multihost_env_spec_parsed(monkeypatch):
+    from epitpu.dist import multihost_env_spec
+
+    monkeypatch.setenv("EPITPU_COORDINATOR", "host0:8476")
+    monkeypatch.setenv("EPITPU_NUM_PROCESSES", "4")
+    monkeypatch.setenv("EPITPU_PROCESS_ID", "2")
+    spec = multihost_env_spec()
+    assert spec == {
+        "coordinator_address": "host0:8476",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+
+
+def test_primary_host_single_process():
+    from epitpu.dist import is_primary_host
+
+    assert is_primary_host() is True
