@@ -77,12 +77,27 @@ def main():
     total_iters = n_chains * n_iters
     iters_per_s = total_iters / elapsed
     per_chip_target = 10000.0 / 16.0
+
+    # Secondary metric (BASELINE.md): ESS/s.  Geyer multi-chain ESS per theta
+    # component over the timed chains (no burn-in: chains start at theta_true,
+    # matching the bench's steady-state intent); report the min component —
+    # the binding constraint for posterior quality — divided by wall time.
+    from epitpu.diag import ess
+
+    thetas = np.asarray(r.thetas)  # [n_chains, n_iters+1, d]
+    ess_components = ess(thetas)  # [d]
+    ess_min = float(np.min(ess_components))
+    ess_per_s = ess_min / elapsed
+
     out = {
         "metric": f"PMMH aggregate iters/s (SIR, {n_particles} particles, "
         f"T=15, {n_chains} chains/chip)",
         "value": round(iters_per_s, 2),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / per_chip_target, 3),
+        "ess_per_s": round(ess_per_s, 2),
+        "ess_min_component": round(ess_min, 1),
+        "elapsed_s": round(elapsed, 3),
     }
     print(json.dumps(out))
     return 0
