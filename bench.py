@@ -34,9 +34,15 @@ def main():
     from epitpu.ode import sir_simulate_discrete
 
     n_particles = 4096
-    n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "64"))
+    # 16 vmapped chains is the measured throughput sweet spot on one v5e chip
+    # (SCALING.json tpu_chain_sweep; PROFILE.json), and "fast_rbg" draws the
+    # tau-leap randomness from the hardware RNG instead of threefry (~70% of
+    # the propagate phase — PROFILE.json), same trajectory law
+    # (tests/test_sim.py::test_fast_rbg_sampler_matches_exact_moments).
+    n_chains = int(os.environ.get("BENCH_CHAINS", "16"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "128"))
     steps_per_unit = int(os.environ.get("BENCH_STEPS_PER_UNIT", "20"))
+    sampler = os.environ.get("BENCH_SAMPLER", "fast_rbg")
 
     t = np.linspace(0, 14, 100)
     df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)
@@ -63,6 +69,7 @@ def main():
             mu=20.0,
             steps_per_unit=steps_per_unit,
             n_init_attempts=2,
+            sampler=sampler,
         )
 
     # warmup/compile with a tiny iteration count (same static config)

@@ -38,6 +38,10 @@ class MCMCConfig:
     infer_obs_param: bool = False
     steps_per_unit: int = 20
     resampling: str = "systematic"
+    # tau-leap binomial sampler: "fast" (threefry), "fast_rbg" (hardware RNG
+    # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
+    # or "exact" (jax.random.binomial, validation runs)
+    sampler: str = "fast"
     # single-chain runs: emit the reference-style live telemetry line (iter,
     # acceptance ratio, theta, log zeta) every K iterations from inside the
     # compiled scan (reference pmcmc.py:320-321, 405-406)

@@ -329,6 +329,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         mu=mu,
         steps_per_unit=m.steps_per_unit,
         resampling=m.resampling,
+        sampler=m.sampler,
         # in-scan telemetry only composes with single-chain runs (see
         # particle_mcmc docstring); many-chain runs get segment progress lines
         log_every=m.log_every if m.n_chains == 1 else 0,

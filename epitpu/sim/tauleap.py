@@ -47,6 +47,29 @@ from ..models.base import CompartmentModel
 from .samplers import get_binomial_sampler
 
 
+def _to_rbg(key):
+    """Re-wrap a (threefry) PRNG key as an ``rbg`` key.  The rbg impl draws
+    its bits from the TPU's hardware RNG instruction instead of running the
+    threefry hash on the VPU; measured ~1.2-1.45x faster whole-propagation at
+    production shapes (threefry bits are ~70% of the propagate phase — see
+    PROFILE.json).  Still fully deterministic given the key; the stream just
+    differs from threefry's (and may differ across backends), which is why it
+    is opt-in via ``sampler="fast_rbg"`` rather than the default."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = jnp.asarray(key)
+    return jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+
+
+def _resolve_rng(key, sampler):
+    """``sampler`` may carry an ``_rbg`` suffix selecting the hardware-RNG
+    key impl; returns (possibly converted key, base sampler name)."""
+    if sampler.endswith("_rbg"):
+        return _to_rbg(key), sampler[: -len("_rbg")]
+    return key, sampler
+
+
 def _per_capita(model, x, rates):
     """Per-capita hazards mu[r] = a_r / x[source[r]], NaN-proofed.  The clip
     matters: PMMH evaluates proposals unconditionally under vmap and discards
@@ -98,6 +121,7 @@ def _exit_counts(model: CompartmentModel, key, x, mu, dt, binomial):
 
 def substep(model: CompartmentModel, key, x, theta, dt, sampler="fast"):
     """Advance the state by one tau-leap substep of length dt."""
+    key, sampler = _resolve_rng(key, sampler)
     binomial = get_binomial_sampler(sampler)
     stoich = model.stoich_jnp(x.dtype)
     rates = model.rate_fn(x, theta)
@@ -123,6 +147,7 @@ def advance(
     (reference pmcmc.py:200-220).  x: [..., C]."""
     n_steps = int(round(t_span * steps_per_unit))
     dt = t_span / n_steps
+    key, sampler = _resolve_rng(key, sampler)
 
     def body(x, k):
         return substep(model, k, x, theta, dt, sampler), None

@@ -48,6 +48,25 @@ def test_tauleap_matches_exact_ssa_moments():
         assert abs(st - se) < 0.15 * max(se, 10.0), (t, se, st)
 
 
+def test_fast_rbg_sampler_matches_exact_moments():
+    """The hardware-RNG variant (sampler="fast_rbg", used by the TPU bench
+    fast path) must produce the same trajectory law as the threefry "fast"
+    sampler — compare both against the exact SSA."""
+    m = sir_model()
+    b = 2048
+    cap = default_max_events(m, X0)
+    ex = exact_simulate_grid(m, jax.random.PRNGKey(1), _cloud(b), THETA, 8, cap)
+    rb = simulate(m, jax.random.PRNGKey(4), _cloud(b), THETA, 8, 40,
+                  sampler="fast_rbg")
+    tot = np.asarray(rb).sum(axis=-1)
+    np.testing.assert_allclose(tot, 4820.0, rtol=0, atol=1e-3)
+    for t in (3, 5, 8):
+        me, se = float(jnp.mean(ex[t, :, 1])), float(jnp.std(ex[t, :, 1]))
+        mt, st = float(jnp.mean(rb[t, :, 1])), float(jnp.std(rb[t, :, 1]))
+        assert abs(mt - me) < 0.05 * max(me, 50.0), (t, me, mt)
+        assert abs(st - se) < 0.15 * max(se, 10.0), (t, se, st)
+
+
 def test_exact_ssa_matches_ode_mean_field():
     """Exact SSA ensemble mean should track the deterministic ODE early on
     (before stochastic timing spread flattens the mean)."""
