@@ -86,12 +86,13 @@ def main():
     per_chip_target = 10000.0 / 16.0
 
     # Secondary metric (BASELINE.md): ESS/s.  Geyer multi-chain ESS per theta
-    # component over the timed chains (no burn-in: chains start at theta_true,
-    # matching the bench's steady-state intent); report the min component —
-    # the binding constraint for posterior quality — divided by wall time.
+    # component over the timed chains (no burn-in: each chain starts at an
+    # accepted init-search proposal drawn around theta_true, matching the
+    # bench's steady-state intent); report the min component — the binding
+    # constraint for posterior quality — divided by wall time.
     from epitpu.diag import ess
 
-    thetas = np.asarray(r.thetas)  # [n_chains, n_iters+1, d]
+    thetas = np.asarray(r.thetas)  # [n_chains, n_iters, d] (init row + n_iters-1 scan rows)
     ess_components = ess(thetas)  # [d]
     ess_min = float(np.min(ess_components))
     ess_per_s = ess_min / elapsed

@@ -31,7 +31,12 @@ class MCMCConfig:
     n_iters: int = 1000
     h: float = 0.05
     adaptive: bool = False
-    adapt_start: int = 1000
+    # None: auto-resolve to ``min(1000, n_iters // 5)`` so adaptation always
+    # engages within the configured run.  (The reference hardcodes 1000 and
+    # runs 6000-iteration grids, reference tests/experiments/noise/noise_.1.py:36
+    # and pmcmc.py:327; a fixed 1000 default silently disabled adaptation for
+    # any run with n_iters <= 1000.)
+    adapt_start: Optional[int] = None
     sigma0: Optional[Sequence[Sequence[float]]] = None
     n_particles: int = 100
     n_chains: int = 1
@@ -51,6 +56,15 @@ class MCMCConfig:
     mu: Optional[float] = None
     n_population: Optional[float] = None
     theta0: Optional[Tuple[float, ...]] = None  # default: theta_true
+
+    def resolved_adapt_start(self) -> int:
+        """The effective ``adapt_start``: the explicit value if set, else
+        ``min(1000, n_iters // 5)`` — guaranteed to engage before the run
+        ends (reference semantics: adaptation after iteration ``adapt_start``,
+        reference pmcmc.py:327-328)."""
+        if self.adapt_start is not None:
+            return self.adapt_start
+        return min(1000, max(1, self.n_iters // 5))
 
 
 @dataclasses.dataclass

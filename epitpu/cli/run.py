@@ -319,7 +319,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     common = dict(
         n_chains=m.n_chains,
         adaptive=m.adaptive,
-        adapt_start=m.adapt_start,
+        adapt_start=m.resolved_adapt_start(),
         sigma=None if sigma0 is None else jnp.asarray(sigma0, jnp.float32),
         n_iters=m.n_iters,
         obs_param=cfg.data.obs_param,

@@ -198,6 +198,16 @@ def particle_mcmc(
     ``cond`` branches; use the runner's segment-level progress lines for
     many-chain production runs.
     """
+    if adaptive and adapt_start >= n_iters - 1:
+        import warnings
+
+        warnings.warn(
+            f"adaptive=True but adapt_start={adapt_start} >= n_iters-1="
+            f"{n_iters - 1}: the proposal covariance will NEVER adapt in "
+            "this run. Lower adapt_start (the CLI auto-resolves it to "
+            "min(1000, n_iters // 5)) or raise n_iters.",
+            stacklevel=2,
+        )
     parameters = jnp.asarray(parameters, jnp.float32)
     d = parameters.shape[0]
     sigma0 = jnp.eye(d, dtype=jnp.float32) if sigma is None else jnp.asarray(

@@ -59,7 +59,12 @@ def _to_rbg(key):
         data = jax.random.key_data(key)
     else:
         data = jnp.asarray(key)
-    return jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+    # concatenate along the last axis (batch-safe: (B, 2) -> (B, 4); a
+    # plain tile+slice would corrupt batched key shapes) and idempotent for
+    # keys that are already 4-word rbg data
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data], axis=-1)[..., :4], impl="rbg"
+    )
 
 
 def _resolve_rng(key, sampler):

@@ -198,7 +198,12 @@ def main():
             "us = per-invocation time of each isolated phase at the given "
             "vmapped chain count (scan of `reps` inside one jit). "
             "recon_iter_us = 14*filter_step + path; overhead_us = measured "
-            "pmmh_iter - recon (proposal, MH, Welford, scan bookkeeping)."
+            "pmmh_iter - recon (proposal, MH, Welford, scan bookkeeping). "
+            "CAVEAT: isolated phases lose the cross-phase XLA fusion of the "
+            "real fused program, so recon can EXCEED the measured iteration "
+            "(negative overhead_us); treat phase shares as upper bounds. "
+            "For ground truth use the in-situ jax.profiler breakdown in "
+            "PROFILE_insitu.json (insitu_profile.py)."
         ),
         "rows": rows,
     }

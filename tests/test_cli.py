@@ -258,3 +258,53 @@ def test_kde_pair_plot(tmp_path):
     th = rng.normal([2.0, 1.0], [0.2, 0.1], size=(500, 2))
     p = kde_pair_plot(th, str(tmp_path), names=["beta", "gamma"])
     assert os.path.exists(p) and os.stat(p).st_size > 5000
+
+
+def test_adapt_start_auto_resolves_and_engages(tmp_path, monkeypatch):
+    """Regression (round-2 VERDICT weak #1): sweep presets set adaptive=True
+    with default n_iters=1000 but adapt_start defaulted to 1000, so
+    adaptation NEVER engaged (pmmh adapts only when i > adapt_start).
+    adapt_start=None must now auto-resolve to min(1000, n_iters // 5) and
+    that resolved value must reach particle_mcmc_chains."""
+    # every default sweep preset's adaptation engages within its run
+    for cfg in list(noise_sweep()) + list(pobs_sweep()) + list(tmps_sweep()):
+        assert cfg.mcmc.adaptive
+        assert cfg.mcmc.resolved_adapt_start() < cfg.mcmc.n_iters - 1, cfg.name
+
+    # explicit values still win
+    assert MCMCConfig(n_iters=50, adapt_start=7).resolved_adapt_start() == 7
+    assert MCMCConfig(n_iters=10_000).resolved_adapt_start() == 1000
+
+    import epitpu.mcmc as mcmc
+
+    captured = {}
+    orig = mcmc.particle_mcmc_chains
+
+    def spy(*args, **kwargs):
+        captured["adapt_start"] = kwargs["adapt_start"]
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mcmc, "particle_mcmc_chains", spy)
+    cfg = _tiny_cfg(tmp_path)  # n_iters=40
+    cfg.mcmc.adaptive = True
+    run_experiment(cfg, verbose=False)
+    assert captured["adapt_start"] == 8  # 40 // 5
+
+
+def test_adapt_start_dead_zone_warns(sir_dataset):
+    """particle_mcmc warns when adaptive=True can never engage."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y, _ = sir_dataset
+    with pytest.warns(UserWarning, match="NEVER adapt"):
+        particle_mcmc(
+            sir_model(), get_observation_model("binomial"),
+            jax.random.PRNGKey(0), jnp.asarray(y), jnp.array([2.0, 1.0]),
+            0.05, adaptive=True, n_iters=10, adapt_start=10,
+            n_particles=8, steps_per_unit=2, n_init_attempts=2,
+        )
