@@ -43,6 +43,11 @@ class MCMCConfig:
     infer_obs_param: bool = False
     steps_per_unit: int = 20
     resampling: str = "systematic"
+    # ESS fraction alpha for conditional resampling: resample only when the
+    # particle ESS drops below alpha * N.  1.0 = the reference's
+    # always-resample semantics (default); 0.5 is the standard SMC choice —
+    # lower marginal-likelihood variance AND less resampling work.
+    resample_threshold: float = 1.0
     # tau-leap binomial sampler: "fast" (threefry), "fast_rbg" (hardware RNG
     # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
     # or "exact" (jax.random.binomial, validation runs)

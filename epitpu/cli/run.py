@@ -329,6 +329,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         mu=mu,
         steps_per_unit=m.steps_per_unit,
         resampling=m.resampling,
+        resample_threshold=m.resample_threshold,
         sampler=m.sampler,
         # in-scan telemetry only composes with single-chain runs (see
         # particle_mcmc docstring); many-chain runs get segment progress lines
@@ -593,6 +594,12 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument(
+        "--resample-threshold", type=float, default=None, metavar="ALPHA",
+        help="ESS-triggered conditional resampling: resample only when "
+        "particle ESS < ALPHA*N (1.0 = reference always-resample; 0.5 = "
+        "standard SMC choice, lower-variance likelihood estimate)",
+    )
+    ap.add_argument(
         "--forecast", type=int, default=None, metavar="HORIZON",
         help="posterior-predictive forecast this many time units past the "
         "data (reference pred_tmps.py)",
@@ -665,6 +672,8 @@ def _apply_overrides(cfg, args):
         cfg.mcmc.n_particles = args.particles
     if args.no_plots:
         cfg.make_plots = False
+    if args.resample_threshold is not None:
+        cfg.mcmc.resample_threshold = args.resample_threshold
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:

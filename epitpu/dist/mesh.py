@@ -107,6 +107,7 @@ def sharded_particle_filter(
         hidden=P(None, PARTICLE_AXIS, None),
         ancestry=P(None, PARTICLE_AXIS),
         degenerate=P(),
+        final_logw=P(PARTICLE_AXIS),
     )
     fn = shard_map(
         body,
@@ -168,4 +169,15 @@ def sharded_pmmh(
         out_specs=P(CHAIN_AXIS),
         check_vma=False,
     )
+    if jax.process_count() > 1:
+        # multi-process run (mesh spans hosts): every process computes the
+        # same full key table, then assembles the GLOBAL sharded array from
+        # its addressable slice — jit cannot auto-shard a host-local array
+        # across processes (tests/test_multiprocess.py executes this path
+        # with 2 OS processes over Gloo)
+        keys_np = np.asarray(keys)
+        sharding = NamedSharding(mesh, P(CHAIN_AXIS))
+        keys = jax.make_array_from_callback(
+            keys_np.shape, sharding, lambda idx: keys_np[idx]
+        )
     return jax.jit(fn)(keys)

@@ -101,6 +101,7 @@ def _filter_ll_and_path(
     steps_per_unit,
     resampling,
     sampler,
+    resample_threshold,
 ):
     k_pf, k_path = jax.random.split(key)
     res = particle_filter(
@@ -116,8 +117,13 @@ def _filter_ll_and_path(
         steps_per_unit=steps_per_unit,
         resampling=resampling,
         sampler=sampler,
+        resample_threshold=resample_threshold,
     )
-    traj = sample_path(k_path, res.hidden, res.ancestry)
+    # under conditional resampling the terminal particles carry residual
+    # weights; the path's terminal draw must respect them (see sample_path)
+    terminal = res.final_logw if resample_threshold < 1.0 else None
+    with jax.named_scope("path_sample"):
+        traj = sample_path(k_path, res.hidden, res.ancestry, terminal)
     return res.log_likelihood, traj
 
 
@@ -160,6 +166,7 @@ def particle_mcmc(
     mu=20.0,
     steps_per_unit: int = 20,
     resampling: str = "systematic",
+    resample_threshold: float = 1.0,
     adapt_start: int = 1000,
     n_init_attempts: int = 16,
     pool_axes: tuple = (),
@@ -227,6 +234,7 @@ def particle_mcmc(
         steps_per_unit=steps_per_unit,
         resampling=resampling,
         sampler=sampler,
+        resample_threshold=resample_threshold,
     )
 
     def propose(k, center, cov):
@@ -311,7 +319,8 @@ def particle_mcmc(
             use_adapt = i > adapt_start
             cov = jnp.where(use_adapt, w_eff.covariance(jitter=1e-4), sigma0)
 
-        theta_prop = propose(k_prop, theta, cov)
+        with jax.named_scope("mh_propose"):
+            theta_prop = propose(k_prop, theta, cov)
         nonneg = jnp.all(theta_prop >= 0.0)
         m_theta, o_param, stored = _split_theta(
             theta_prop, infer_obs_param, obs_param
@@ -321,14 +330,16 @@ def particle_mcmc(
         )
 
         # log MH ratio; the proposal-density factors cancel (see module doc)
-        log_ratio = ll_prop - ll
-        log_u = jnp.log(jax.random.uniform(k_u))
-        accept = nonneg & jnp.isfinite(ll_prop) & (log_u < log_ratio)
+        with jax.named_scope("mh_accept"):
+            log_ratio = ll_prop - ll
+            log_u = jnp.log(jax.random.uniform(k_u))
+            accept = nonneg & jnp.isfinite(ll_prop) & (log_u < log_ratio)
 
-        theta = jnp.where(accept, stored, theta)
-        ll = jnp.where(accept, ll_prop, ll)
-        traj = jnp.where(accept, traj_prop, traj)
-        w = w.update(theta)
+            theta = jnp.where(accept, stored, theta)
+            ll = jnp.where(accept, ll_prop, ll)
+            traj = jnp.where(accept, traj_prop, traj)
+        with jax.named_scope("adapt_welford"):
+            w = w.update(theta)
         accepts = accepts + accept.astype(jnp.int32)
 
         if log_every:
@@ -371,7 +382,8 @@ def particle_mcmc(
 
 _STATIC_NAMES = (
     "model", "obs_loglik", "adaptive", "n_iters", "infer_obs_param",
-    "n_particles", "steps_per_unit", "resampling", "adapt_start",
+    "n_particles", "steps_per_unit", "resampling", "resample_threshold",
+    "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
 )
 
@@ -410,6 +422,7 @@ def particle_mcmc_chains(
     mu=20.0,
     steps_per_unit: int = 20,
     resampling: str = "systematic",
+    resample_threshold: float = 1.0,
     adapt_start: int = 1000,
     n_init_attempts: int = 16,
     sampler: str = "fast",
@@ -436,7 +449,8 @@ def particle_mcmc_chains(
         adaptive=adaptive, sigma=sigma, n_iters=n_iters, obs_param=obs_param,
         infer_obs_param=infer_obs_param, n_particles=n_particles,
         n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
-        resampling=resampling, adapt_start=adapt_start,
+        resampling=resampling, resample_threshold=resample_threshold,
+        adapt_start=adapt_start,
         n_init_attempts=n_init_attempts, sampler=sampler,
         segment_len=segment_len, log_every=log_every,
     )

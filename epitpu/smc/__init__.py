@@ -5,6 +5,7 @@ from .resample import (
     multinomial_resample,
     normalized_weights,
     systematic_resample,
+    systematic_resample_scatter,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "multinomial_resample",
     "normalized_weights",
     "systematic_resample",
+    "systematic_resample_scatter",
 ]

@@ -51,6 +51,12 @@ class FilterResult:
     hidden: jnp.ndarray
     ancestry: jnp.ndarray
     degenerate: jnp.ndarray
+    # [N] normalized terminal log-weights (global logsumexp == 0).  Uniform
+    # (-log N) under always-resample semantics (resample_threshold >= 1);
+    # with ESS-triggered conditional resampling they carry the residual
+    # weights of the final step, and the path sampler's terminal draw must
+    # use them to stay unbiased.
+    final_logw: jnp.ndarray
 
 
 def particle_filter(
@@ -68,12 +74,25 @@ def particle_filter(
     x0: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     sampler: str = "fast",
+    resample_threshold: float = 1.0,
 ) -> FilterResult:
     """Run the bootstrap filter on observations ``y: [T, obs_dim]``.
 
     ``theta`` is the model's flat parameter vector; ``obs_param`` the (traced)
     observation parameter (reporting probability or noise level).  ``x0`` may
     override the model's Poisson initial cloud (reference pmcmc.py:156-170).
+
+    ``resample_threshold`` (alpha) enables ESS-triggered *conditional*
+    resampling, the standard SMC variance-reduction absent from the
+    reference (which resamples every step, reference pmcmc.py:185-193):
+    resample only when the normalized-weight effective sample size drops
+    below ``alpha * n_total``; otherwise keep identity ancestry and carry
+    the normalized log-weights into the next step's weighting.  ``alpha >=
+    1.0`` (default) is the reference's always-resample semantics, kept
+    bit-identical to round-2 behavior.  Both settings are unbiased
+    estimators of the marginal likelihood; conditional resampling lowers
+    its variance and skips the resampling work statistically wasted on
+    healthy particle clouds.
 
     ``axis_name`` enables particle-axis sharding inside ``shard_map``: each
     device holds ``n_particles`` *local* particles, the weight normalization
@@ -118,36 +137,70 @@ def particle_filter(
         s = jax.lax.psum(jnp.sum(jnp.exp(logw - m_safe)), axis_name)
         return jnp.where(jnp.isfinite(m), jnp.log(s) + m_safe, -jnp.inf)
 
+    def _global_sum(v):
+        s = jnp.sum(v)
+        return s if axis_name is None else jax.lax.psum(s, axis_name)
+
+    def _do_resample(k_res, logw_for_res, x):
+        """(ancestors in GLOBAL particle ids, resampled local states)."""
+        if axis_name is None:
+            anc, _ = resampler(k_res, logw_for_res)  # [N] int32
+            return anc, jnp.take(x, anc, axis=0)
+        logw_all = jax.lax.all_gather(
+            logw_for_res, axis_name, tiled=True
+        )  # [Ntot]
+        x_all = jax.lax.all_gather(x, axis_name, tiled=True)  # [Ntot, C]
+        anc_all, _ = resampler(k_res, logw_all)  # [Ntot] global ids
+        anc = jax.lax.dynamic_slice_in_dim(anc_all, shard_offset, n_particles)
+        return anc, jnp.take(x_all, anc, axis=0)
+
+    conditional = resample_threshold < 1.0
+    iota_global = shard_offset + jnp.arange(n_particles, dtype=jnp.int32)
+
     def step(carry, inp):
-        x, log_z, degen = carry
+        x, lw, log_z, degen = carry
         y_t, k = inp
         k_res, k_prop = jax.random.split(k)
 
-        x_obs = model.observe_map(x)  # [N, obs_dim]
-        logw = obs_loglik(y_t, x_obs, obs_param)  # [N]
-        step_lse = _global_lse(logw)
-        step_degen = ~jnp.isfinite(step_lse)
-        log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse - log_n)
-
-        if axis_name is None:
-            anc, _ = resampler(k_res, logw)  # [N] int32
-            x_res = jnp.take(x, anc, axis=0)
-            k_prop = jax.random.fold_in(k_prop, shard_index)
+        with jax.named_scope("pf_weight"):
+            x_obs = model.observe_map(x)  # [N, obs_dim]
+            logw = obs_loglik(y_t, x_obs, obs_param)  # [N]
+        if not conditional:
+            # always-resample (reference semantics); bit-identical to the
+            # pre-threshold implementation
+            step_lse = _global_lse(logw)
+            step_degen = ~jnp.isfinite(step_lse)
+            log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse - log_n)
+            with jax.named_scope("pf_resample"):
+                anc, x_res = _do_resample(k_res, logw, x)
+            lw_next = lw  # stays uniform
         else:
-            logw_all = jax.lax.all_gather(logw, axis_name, tiled=True)  # [Ntot]
-            x_all = jax.lax.all_gather(x, axis_name, tiled=True)  # [Ntot, C]
-            anc_all, _ = resampler(k_res, logw_all)  # [Ntot] global ids
-            anc = jax.lax.dynamic_slice_in_dim(
-                anc_all, shard_offset, n_particles
+            # carry normalized log-weights; increment is logsumexp of the
+            # weighted mixture (reduces to logsumexp(logw) - log N whenever
+            # the previous step resampled)
+            s = lw + logw
+            step_lse = _global_lse(s)
+            step_degen = ~jnp.isfinite(step_lse)
+            log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse)
+            lw_new = jnp.where(step_degen, -log_n, s - step_lse)
+            ess = 1.0 / _global_sum(jnp.exp(2.0 * lw_new))
+            need = (ess < resample_threshold * n_total) & ~step_degen
+            with jax.named_scope("pf_resample"):
+                anc_r, x_r = _do_resample(k_res, lw_new, x)
+            anc = jnp.where(need, anc_r, iota_global)
+            x_res = jnp.where(need, x_r, x)
+            lw_next = jnp.where(need, jnp.full_like(lw_new, -log_n), lw_new)
+        k_prop = jax.random.fold_in(k_prop, shard_index)
+        with jax.named_scope("pf_propagate"):
+            x_new = advance(
+                model, k_prop, x_res, theta, 1.0, steps_per_unit, sampler
             )
-            x_res = jnp.take(x_all, anc, axis=0)
-            k_prop = jax.random.fold_in(k_prop, shard_index)
-        x_new = advance(model, k_prop, x_res, theta, 1.0, steps_per_unit, sampler)
-        return (x_new, log_z, degen | step_degen), (x_new, anc, log_z)
+        return (x_new, lw_next, log_z, degen | step_degen), (x_new, anc, log_z)
 
     keys = jax.random.split(key_scan, t_len - 1)
-    init = (x0, jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
-    (_, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
+    lw0 = jnp.full((n_particles,), -log_n, jnp.float32)
+    init = (x0, lw0, jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
+    (_, lw_final, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
         step, init, (y[: t_len - 1], keys)
     )
 
@@ -162,10 +215,11 @@ def particle_filter(
         hidden=hidden,
         ancestry=ancestry,
         degenerate=degen,
+        final_logw=lw_final,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 1, 6, 9, 10, 11, 12))
 def particle_filter_jit(
     model,
     obs_loglik,
@@ -179,6 +233,7 @@ def particle_filter_jit(
     steps_per_unit=20,
     resampling="systematic",
     sampler="fast",
+    resample_threshold=1.0,
 ):
     return particle_filter(
         model,
@@ -193,4 +248,5 @@ def particle_filter_jit(
         steps_per_unit=steps_per_unit,
         resampling=resampling,
         sampler=sampler,
+        resample_threshold=resample_threshold,
     )

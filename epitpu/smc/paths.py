@@ -19,10 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_path(key, hidden, ancestry):
-    """hidden: [T, N, C], ancestry: [T, N] -> trajectory [T, C]."""
+def sample_path(key, hidden, ancestry, terminal_logw=None):
+    """hidden: [T, N, C], ancestry: [T, N] -> trajectory [T, C].
+
+    ``terminal_logw`` ([N] log-weights): when the filter ran with
+    ESS-triggered conditional resampling the terminal particles carry
+    non-uniform residual weights, and the terminal slot must be drawn
+    categorically from them for the path to be a draw from the smoothing
+    distribution.  ``None`` (always-resample filters) keeps the reference's
+    uniform terminal pick (reference pmcmc.py:238)."""
     t_len, n_particles, _ = hidden.shape
-    j_last = jax.random.randint(key, (), 0, n_particles)
+    if terminal_logw is None:
+        j_last = jax.random.randint(key, (), 0, n_particles)
+    else:
+        j_last = jax.random.categorical(key, terminal_logw)
 
     def back(j, p):
         # moving from time p to p-1: parent of slot j is ancestry[p, j]

@@ -90,8 +90,65 @@ def multinomial_resample(key, logw):
     return jnp.where(degenerate[..., None], iota, idx), degenerate
 
 
+def _offsets_to_ancestors(offsets, n):
+    """Invert offspring offsets into ancestor indices in O(N).
+
+    ``offsets[k]`` is the exclusive prefix sum of offspring counts (the first
+    output slot owned by ancestor k); ancestor k fills slots
+    ``[offsets[k], offsets[k+1])``.  Scatter a 1 at every ``offsets[k]``
+    (zero-count ancestors collide harmlessly on the same slot; trailing
+    ``offsets[k] == n`` are dropped), then ``cumsum - 1`` recovers, at each
+    slot j, the largest k with ``offsets[k] <= j`` — which is exactly the
+    positive-count ancestor owning slot j."""
+    d = jnp.zeros((n,), jnp.int32).at[offsets].add(1, mode="drop")
+    return jnp.cumsum(d) - 1
+
+
+def systematic_resample_scatter(key, logw):
+    """Systematic resampling in O(N) — no N x N broadcast.
+
+    The compare-reduce above streams N^2 comparisons through the VPU; at
+    N=4096 that is 16.8M compares per chain per filter step, the dominant
+    resampling cost found in round 2 (PROFILE.json).  Systematic points
+    ``p_j = (j + u) * total / N`` are already sorted, so the ancestor
+    assignment is fully determined by the counts
+    ``q(v) = #{j : p_j < v} = clip(ceil(v * N / total - u), 0, N)``
+    evaluated at the CDF — an elementwise O(N) computation — and the
+    counts invert to indices with one scatter + cumsum
+    (``_offsets_to_ancestors``).  Same distribution as
+    ``systematic_resample`` (boundary ties ``p_j == cdf_k`` resolve to the
+    other side — a measure-zero event).  Batch dims vmap-expand.
+
+    Measured on TPU v5e (in-scan, amortized): the compare-reduce costs
+    ~1 us per [16 x 4096] resample — XLA streams the N^2 compare at near
+    peak VPU rate and it is NOT the filter bottleneck (round-2 PROFILE.json
+    overstated it; the in-situ trace shows propagation dominating).  The
+    scatter path only pays off at much larger N (>= 16k) or on backends
+    without the fused compare-reduce; hence it ships as the opt-in
+    ``resampling="systematic_scatter"`` rather than the default."""
+    n = logw.shape[-1]
+    cdf, degenerate = _safe_cdf(logw)
+    total = cdf[..., -1:]
+    u = jax.random.uniform(key, shape=logw.shape[:-1] + (1,))
+    q = jnp.clip(
+        jnp.ceil(cdf * (n / total) - u), 0.0, float(n)
+    ).astype(jnp.int32)  # [..., N] points strictly below each cdf value
+    offsets = jnp.concatenate(
+        [jnp.zeros_like(q[..., :1]), q[..., :-1]], axis=-1
+    )
+    if logw.ndim == 1:
+        idx = _offsets_to_ancestors(offsets, n)
+    else:
+        flat = offsets.reshape(-1, n)
+        idx = jax.vmap(_offsets_to_ancestors, in_axes=(0, None))(flat, n)
+        idx = idx.reshape(offsets.shape)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), idx.shape)
+    return jnp.where(degenerate[..., None], iota, idx), degenerate
+
+
 _RESAMPLERS = {
     "systematic": systematic_resample,
+    "systematic_scatter": systematic_resample_scatter,
     "multinomial": multinomial_resample,
 }
 

@@ -155,3 +155,66 @@ def test_filter_under_vmap(sir_dataset):
     lls = fn(keys, thetas)
     assert lls.shape == (3,)
     assert np.isfinite(np.asarray(lls)).all()
+
+
+def test_conditional_resampling_skips_healthy_steps(sir_dataset):
+    """resample_threshold < 1: steps with ESS >= alpha*N keep identity
+    ancestry and carry weights; the filter stays finite and the terminal
+    log-weights are normalized."""
+    y, _ = sir_dataset
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(
+        m, obs, jax.random.PRNGKey(0), y, THETA, 0.1, 256,
+        4820, 20.0, resample_threshold=0.5,
+    )
+    assert np.isfinite(float(res.log_likelihood))
+    anc = np.asarray(res.ancestry[1:])  # row 0 is unwritten zeros
+    iota = np.arange(256)
+    identity_rows = np.array([(row == iota).all() for row in anc])
+    # with alpha=0.5 on this dataset at 256 particles some steps skip
+    # resampling and some don't (both code paths exercised)
+    assert identity_rows.any()
+    assert not identity_rows.all()
+    # terminal weights normalized: logsumexp == 0
+    lse = float(jax.scipy.special.logsumexp(res.final_logw))
+    np.testing.assert_allclose(lse, 0.0, atol=1e-4)
+    # always-resample keeps uniform terminal weights
+    res1 = particle_filter_jit(
+        m, obs, jax.random.PRNGKey(0), y, THETA, 0.1, 256, 4820, 20.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.final_logw), -np.log(256.0), rtol=1e-6
+    )
+
+
+def test_conditional_resampling_estimator_consistent(sir_dataset):
+    """Both alpha=1 (always resample) and alpha=0.5 are unbiased estimators
+    of the same marginal likelihood: their mean log-Z agree within joint MC
+    error, and conditional resampling does not inflate the variance."""
+    y, _ = sir_dataset
+    keys = jax.random.split(jax.random.PRNGKey(7), 24)
+    ll_always = np.asarray(
+        jax.vmap(lambda k: _ll(y, THETA, k, 512))(keys)
+    )
+    ll_cond = np.asarray(
+        jax.vmap(lambda k: _ll(y, THETA, k, 512, resample_threshold=0.5))(keys)
+    )
+    assert np.isfinite(ll_always).all() and np.isfinite(ll_cond).all()
+    se = np.sqrt(ll_always.var() / 24 + ll_cond.var() / 24)
+    assert abs(ll_always.mean() - ll_cond.mean()) < 4 * se + 0.5
+    # variance should not blow up (usually shrinks)
+    assert ll_cond.std() < 2.0 * ll_always.std() + 0.1
+
+
+def test_conditional_resampling_degenerate_still_neg_inf():
+    y_bad = jnp.full((6, 3), 1e9, dtype=jnp.float32)
+    m = sir_model()
+    obs = get_observation_model("binomial")
+    res = particle_filter_jit(
+        m, obs, jax.random.PRNGKey(0), y_bad, THETA, 0.1, 64,
+        4820, 20.0, resample_threshold=0.5,
+    )
+    assert bool(res.degenerate)
+    assert float(res.log_likelihood) == -np.inf
+    assert np.isfinite(np.asarray(res.final_logw)).all()

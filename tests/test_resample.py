@@ -81,3 +81,64 @@ def test_batched_resampling():
     idx, degen = systematic_resample(jax.random.PRNGKey(0), logw)
     assert idx.shape == (4, 64)
     assert degen.shape == (4,)
+
+
+def test_scatter_systematic_matches_compare_reduce():
+    """The O(N) counts+scatter systematic resampler (the production default
+    since round 3) computes the SAME ancestor assignment as the O(N^2)
+    compare-reduce given the same key, away from measure-zero CDF boundary
+    ties."""
+    from epitpu.smc import systematic_resample_scatter
+
+    for seed in range(8):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        logw = jax.random.normal(k1, (513,)) * 3.0
+        # sprinkle zero-weight particles (duplicate CDF values)
+        logw = logw.at[::7].set(-jnp.inf)
+        a, d_a = systematic_resample(k2, logw)
+        b, d_b = systematic_resample_scatter(k2, logw)
+        assert not bool(d_a) and not bool(d_b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scatter_systematic_degenerate_and_delta():
+    from epitpu.smc import systematic_resample_scatter
+
+    idx, degen = systematic_resample_scatter(
+        jax.random.PRNGKey(0), jnp.full((16,), -jnp.inf)
+    )
+    assert bool(degen)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+
+    logw = jnp.full((8,), -jnp.inf).at[3].set(0.0)
+    idx, degen = systematic_resample_scatter(jax.random.PRNGKey(1), logw)
+    assert not bool(degen)
+    assert (np.asarray(idx) == 3).all()
+
+
+def test_scatter_systematic_batched_and_vmapped():
+    from epitpu.smc import systematic_resample_scatter
+
+    logw = jax.random.normal(jax.random.PRNGKey(2), (3, 64))
+    idx, degen = systematic_resample_scatter(jax.random.PRNGKey(3), logw)
+    assert idx.shape == (3, 64) and degen.shape == (3,)
+    # every output row is a valid ancestor vector
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 64).all()
+    # vmap over a batch of keys/weights
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    idx_v, _ = jax.vmap(systematic_resample_scatter)(ks, logw)
+    assert idx_v.shape == (3, 64)
+
+
+def test_scatter_systematic_counts_match_weights():
+    """Offspring counts are within 1 of N*w_k (the defining property of
+    systematic resampling)."""
+    from epitpu.smc import systematic_resample_scatter
+
+    n = 2048
+    w = np.random.default_rng(0).dirichlet(np.ones(16))
+    logw = jnp.log(jnp.asarray(np.repeat(w / (n // 16), n // 16)))
+    idx, _ = systematic_resample_scatter(jax.random.PRNGKey(5), logw)
+    counts = np.bincount(np.asarray(idx), minlength=n)
+    expect = n * np.asarray(jnp.exp(logw - jax.scipy.special.logsumexp(logw)))
+    assert (np.abs(counts - expect) <= 1.0 + 1e-3).all()
