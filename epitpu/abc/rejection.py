@@ -6,8 +6,16 @@ run one Python-Gillespie trajectory, align it to the integer time grid by
 hand (abc_algo.py:55-93), compute the distance, and retry until below
 threshold.  Here a whole *batch* of candidates is simulated in one compiled
 tau-leap sweep (daily states recorded directly — no alignment pass needed),
-distances are computed on device, and a host loop simply accumulates the
-mask-accepted candidates until the quota is met.
+distances are computed on device INSIDE the same compiled program, and the
+host loop:
+
+  * syncs only the [K] distance vector per batch (the trajectories stay on
+    device and are fetched only for accepted candidates);
+  * double-buffers: the next batch is enqueued BEFORE the current batch's
+    distances are pulled, so host-side mask/accept bookkeeping overlaps
+    device compute (dispatch through the tunneled TPU costs ~ms; round 2's
+    single-buffered loop serialized it with every batch and was the real
+    ABC bottleneck, not the simulation kernel).
 
 Acceptance bookkeeping matches the reference's live telemetry: total trials
 and acceptance ratio (abc_algo.py:27-28, 108).
@@ -69,7 +77,7 @@ def _abc_prep(model: CompartmentModel, key, observed, batch_size: int,
     return thetas, x0, seed
 
 
-@partial(jax.jit, static_argnums=(0, 3, 6, 7))
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 8))
 def _abc_batch(
     model: CompartmentModel,
     key,
@@ -79,18 +87,21 @@ def _abc_batch(
     hi,
     t_max: int,
     steps_per_unit: int,
+    distance_fn=None,
 ):
-    """XLA path: vmapped substep-scan simulation of the whole batch."""
+    """XLA path: vmapped substep-scan simulation + on-device distance, one
+    compiled program.  Returns (thetas [K, d], sim [K, T, C], dist [K])."""
     thetas, x0, seed = _abc_prep(model, key, observed, batch_size, lo, hi)
     k_sim = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     sim = jax.vmap(
         lambda k, x, th: simulate(model, k, x, th, t_max, steps_per_unit),
         in_axes=(0, 0, 0),
     )(jax.random.split(k_sim, batch_size), x0, thetas)  # [K, T, C]
-    sim = jnp.swapaxes(sim, 0, 1)  # [T, K, C]
-    return thetas, sim
+    dist = distance_fn(jnp.swapaxes(sim, 0, 1), observed)  # [K]
+    return thetas, sim, dist
 
 
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 8))
 def _abc_batch_pallas(
     model: CompartmentModel,
     key,
@@ -100,16 +111,17 @@ def _abc_batch_pallas(
     hi,
     t_max: int,
     steps_per_unit: int,
+    distance_fn=None,
 ):
     """Pallas fast path: the whole candidate batch advances in ONE fused
-    kernel launch, one candidate per VPU lane (epitpu.ops.pallas_simulate) —
-    the "top-level pipelined propagation" workload the kernel is built for.
-    Called at top level (not inside jit) so dispatch pipelines."""
+    kernel launch, one candidate per VPU lane (epitpu.ops.pallas_simulate),
+    with the distance fused into the same jitted program."""
     thetas, x0, seed = _abc_prep(model, key, observed, batch_size, lo, hi)
     sim = pallas_simulate(
         model, seed, x0, thetas, t_max, steps_per_unit
     )  # [K, T, C]
-    return thetas, jnp.swapaxes(sim, 0, 1)  # [T, K, C]
+    dist = distance_fn(jnp.swapaxes(sim, 0, 1), observed)  # [K]
+    return thetas, sim, dist
 
 
 def abc_rejection(
@@ -155,21 +167,29 @@ def abc_rejection(
         )
     batch_fn = _abc_batch_pallas if backend == "pallas" else _abc_batch
 
+    def launch(key):
+        key, k_batch = jax.random.split(key)
+        return key, batch_fn(
+            model, k_batch, observed, batch_size, lo, hi, t_max,
+            steps_per_unit, distance_fn,
+        )
+
     acc_thetas, acc_trajs = [], []
     trials = 0
     n_accepted = 0
+    key, pending = launch(key)
     while n_accepted < n_samples and trials < max_trials:
-        key, k_batch = jax.random.split(key)
-        thetas, sim = batch_fn(
-            model, k_batch, observed, batch_size, lo, hi, t_max, steps_per_unit
-        )
-        dist = distance_fn(sim, observed)  # [K]
-        mask = np.asarray(dist <= threshold)
+        thetas_d, sim_d, dist_d = pending
+        # enqueue the NEXT batch before syncing this one: bookkeeping below
+        # overlaps its device compute (double buffering)
+        key, pending = launch(key)
+        mask = np.asarray(dist_d) <= threshold  # the only per-batch sync
         trials += batch_size
         if mask.any():
-            acc_thetas.append(np.asarray(thetas)[mask])
-            acc_trajs.append(np.asarray(jnp.swapaxes(sim, 0, 1))[mask])
-            n_accepted += int(mask.sum())
+            idx = np.nonzero(mask)[0]
+            acc_thetas.append(np.asarray(thetas_d)[idx])
+            acc_trajs.append(np.asarray(sim_d)[idx])
+            n_accepted += len(idx)
 
     if n_accepted == 0:
         raise RuntimeError(

@@ -231,3 +231,204 @@ def test_subgroup_untransposed_variant_differs():
         simulate(m_txt, jax.random.PRNGKey(0), pop, theta, 4, 20)
     ).mean(1)
     assert np.abs(a[-1] - b[-1]).max() > 5.0
+
+
+def test_seir_tauleap_matches_reference_ssa_law():
+    """SEIR daily-grid trajectory moments: our tau-leap vs the reference's
+    exact Gillespie SEIR SSA (reference gillespie_algo.py:78-146), 192 runs
+    each.  Closes the SEIR gap in the round-2 parity matrix."""
+    import gillespie_algo as ref_g
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import seir_model
+    from epitpu.sim import simulate
+
+    np.random.seed(13)
+    t_max, runs = 5, 192
+    theta = np.array([2.0, 1.0, 1.0])  # beta, alpha, gamma
+    ref_daily = []
+    for _ in range(runs):
+        traj = ref_g.seir_simulate([480, 0, 20, 0], theta, t_max, False)
+        times = np.asarray(traj["time"])
+        idx = np.searchsorted(times, np.arange(t_max + 1) + 1e-9, "left") - 1
+        idx = np.clip(idx, 0, len(times) - 1)
+        ref_daily.append(
+            np.stack([np.asarray(traj[c])[idx] for c in "seir"], axis=1)
+        )
+    ref_daily = np.asarray(ref_daily)  # [runs, T+1, 4]
+
+    m = seir_model()
+    x0 = jnp.broadcast_to(jnp.array([480.0, 0.0, 20.0, 0.0]), (runs, 4))
+    ours = np.asarray(
+        simulate(m, jax.random.PRNGKey(17), x0,
+                 jnp.asarray(theta, jnp.float32), t_max, 40)
+    )
+    ours = np.swapaxes(ours, 0, 1)  # [runs, T+1, 4]
+
+    mean_err = np.abs(ref_daily.mean(0) - ours.mean(0))
+    assert mean_err.max() < 12.0, mean_err
+    std_err = np.abs(ref_daily.std(0) - ours.std(0))
+    assert std_err.max() < 12.0, std_err
+
+
+def test_gaussian_noise_filter_loglik_agrees_with_reference(small_dataset):
+    """PF log-likelihood parity for the noisy-observation path
+    (reference pmcmc.py:181: norm.pdf(Y, X, probs*X + 1e-4), selected with
+    observations=True) — absent from the round-2 parity matrix."""
+    import pmcmc as ref
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.smc import particle_filter_jit
+
+    # Gaussian-noise dataset from the same ODE latent
+    from epitpu.ode import sir_simulate_discrete
+
+    t = np.linspace(0, 10, 100)
+    df = sir_simulate_discrete((480.0, 20.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(23)
+    noise = 0.1
+    y_np = rng.normal(latent, noise * latent + 1e-4).astype(np.float32)
+
+    np.random.seed(5)
+    ref_ll = []
+    for _ in range(8):
+        zetas, _, _ = ref.particle_filter(
+            y_np, ref.ModelType.SIR, np.array([2.0, 1.0]),
+            observations=True, probs=noise, n_particles=200,
+            n_population=500, mu=20, jobs=1,
+        )
+        if zetas is not None and zetas[-1] > 0:
+            ref_ll.append(np.log(zetas[-1]))
+    ref_ll = np.asarray(ref_ll)
+
+    model = sir_model()
+    obs = get_observation_model("gaussian")
+    our_ll = np.asarray([
+        float(particle_filter_jit(
+            model, obs, jax.random.PRNGKey(50 + r), jnp.asarray(y_np),
+            jnp.array([2.0, 1.0]), noise, 200, 500.0, 20.0, 20,
+            "multinomial",
+        ).log_likelihood)
+        for r in range(8)
+    ])
+    assert len(ref_ll) >= 6
+    assert np.isfinite(our_ll).all()
+    se = np.sqrt(ref_ll.var() / len(ref_ll) + our_ll.var() / len(our_ll))
+    diff = abs(ref_ll.mean() - our_ll.mean())
+    assert diff < max(4.0 * se, 1.5), (
+        f"ref {ref_ll.mean():.2f}±{ref_ll.std():.2f} vs "
+        f"ours {our_ll.mean():.2f}±{our_ll.std():.2f}"
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    """Very small population so the reference's full PMCMC loop is tractable
+    on this 2-vCPU host: pop 200, beta=2, gamma=1, T=8, binomial p=0.3."""
+    from epitpu.ode import sir_simulate_discrete
+
+    t = np.linspace(0, 8, 80)
+    df = sir_simulate_discrete((190.0, 10.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(31)
+    y = rng.binomial(np.round(latent).astype(int), 0.3).astype(np.float32)
+    return y
+
+
+def _posterior_close(ref_chain, our_chain, burn, floor):
+    """Means agree within joint MC error (ESS-scaled) per component."""
+    from epitpu.diag import ess as ess_fn
+
+    ref_c = ref_chain[burn:]
+    our_c = our_chain[burn:]
+    for j in range(ref_c.shape[1]):
+        e_r = max(float(ess_fn(ref_c[None, :, j : j + 1])[0]), 4.0)
+        e_o = max(float(ess_fn(our_c[None, :, j : j + 1])[0]), 4.0)
+        se = np.sqrt(ref_c[:, j].var() / e_r + our_c[:, j].var() / e_o)
+        diff = abs(ref_c[:, j].mean() - our_c[:, j].mean())
+        assert diff < 4.0 * se + floor, (
+            f"component {j}: ref {ref_c[:, j].mean():.3f} vs "
+            f"ours {our_c[:, j].mean():.3f} (diff {diff:.3f}, "
+            f"4se+floor {4*se + floor:.3f})"
+        )
+
+
+def test_end_to_end_posterior_matches_reference_pmcmc(tiny_dataset):
+    """BASELINE.md's correctness criterion tested AT THE POSTERIOR LEVEL:
+    run the reference's particle_mcmc (reference pmcmc.py:251-408) end to
+    end on a tiny config and compare posterior means against epitpu's PMMH
+    on the same data, within joint Monte-Carlo error."""
+    import pmcmc as ref
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y = tiny_dataset
+    n_iters, n_part = 220, 40
+    np.random.seed(41)
+    ref_thetas, _, _ = ref.particle_mcmc(
+        y, ref.ModelType.SIR, [2.0, 1.0], 0.08,
+        adaptive=False, sigma=np.eye(2), n_chains=n_iters,
+        observations=False, probs=0.3, n_particles=n_part,
+        n_population=200, mu=10, jobs=1,
+    )
+
+    r = particle_mcmc_chains(
+        sir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(3), jnp.asarray(y), jnp.array([2.0, 1.0]),
+        0.08, n_chains=2, n_iters=n_iters, obs_param=0.3,
+        n_particles=n_part, n_population=200.0, mu=10.0,
+        steps_per_unit=20, n_init_attempts=4,
+    )
+    our_thetas = np.asarray(r.thetas).reshape(-1, 2)
+    _posterior_close(np.asarray(ref_thetas), our_thetas, burn=40, floor=0.25)
+
+
+def test_inferred_p_posterior_matches_reference_pmcmc(tiny_dataset):
+    """The inferred-reporting-probability path (reference probs=None,
+    pmcmc.py:283-287/339-343; driver tests/test_pmcmc_p.py:48-61) compared
+    end to end: the reference's 3-component chain (beta, gamma, p) vs
+    epitpu's infer_obs_param=True chain, posterior means within joint MC
+    error."""
+    import pmcmc as ref
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y = tiny_dataset
+    n_iters, n_part = 220, 40
+    sigma = np.diag([1.0, 1.0, 0.01])
+    np.random.seed(43)
+    ref_thetas, _, _ = ref.particle_mcmc(
+        y, ref.ModelType.SIR, [2.0, 1.0, 0.3], 0.08,
+        adaptive=False, sigma=sigma, n_chains=n_iters,
+        observations=False, probs=None, n_particles=n_part,
+        n_population=200, mu=10, jobs=1,
+    )
+
+    r = particle_mcmc_chains(
+        sir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(5), jnp.asarray(y),
+        jnp.array([2.0, 1.0, 0.3]), 0.08, n_chains=2, n_iters=n_iters,
+        obs_param=0.3, infer_obs_param=True,
+        sigma=jnp.asarray(sigma, jnp.float32), n_particles=n_part,
+        n_population=200.0, mu=10.0, steps_per_unit=20,
+        n_init_attempts=4,
+    )
+    our_thetas = np.asarray(r.thetas).reshape(-1, 3)
+    _posterior_close(np.asarray(ref_thetas), our_thetas, burn=40, floor=0.25)
