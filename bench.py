@@ -43,6 +43,9 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", "128"))
     steps_per_unit = int(os.environ.get("BENCH_STEPS_PER_UNIT", "20"))
     sampler = os.environ.get("BENCH_SAMPLER", "fast_rbg")
+    resampling = os.environ.get("BENCH_RESAMPLING", "systematic")
+    resample_threshold = float(os.environ.get("BENCH_RESAMPLE_THRESHOLD", "1.0"))
+    resample_every = int(os.environ.get("BENCH_RESAMPLE_EVERY", "1"))
 
     t = np.linspace(0, 14, 100)
     df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)
@@ -53,14 +56,15 @@ def main():
     model = sir_model()
     obs = get_observation_model("binomial")
 
-    def run(key, iters):
+    def run(key, iters, adaptive=False, h=0.05, adapt_start=10**6,
+            pooled=False):
         return particle_mcmc_chains(
             model,
             obs,
             key,
             y,
             jnp.array([2.0, 1.0]),
-            0.05,
+            h,
             n_chains=n_chains,
             n_iters=iters,
             obs_param=0.1,
@@ -70,6 +74,12 @@ def main():
             steps_per_unit=steps_per_unit,
             n_init_attempts=2,
             sampler=sampler,
+            resampling=resampling,
+            resample_threshold=resample_threshold,
+            resample_every=resample_every,
+            adaptive=adaptive,
+            adapt_start=adapt_start,
+            pooled_adaptation=pooled,
         )
 
     # warmup/compile with a tiny iteration count (same static config)
@@ -97,6 +107,34 @@ def main():
     ess_min = float(np.min(ess_components))
     ess_per_s = ess_min / elapsed
 
+    # TUNED ESS/s (BASELINE.md secondary metric, round-2 VERDICT #2): the
+    # statistically-tuned configuration — proposal covariance pooled across
+    # ALL vmapped chains via collectives (Welford, reference pmcmc.py:327-328
+    # upgraded with cross-chain pooling) engaging after 16 iterations, with
+    # the Roberts-Rosenthal optimal random-walk scale h = 2.38^2 / d on the
+    # adapted covariance.  Same workload, same chip; reported alongside the
+    # fixed-h number so both throughput and sampling efficiency are honest.
+    d = 2
+    tuned_kw = dict(adaptive=True, h=2.38**2 / d, adapt_start=16, pooled=True)
+    if os.environ.get("BENCH_SKIP_TUNED"):
+        tuned = {}
+    else:
+        r2 = run(jax.random.PRNGKey(0), n_iters, **tuned_kw)
+        np.asarray(r2.thetas)  # warmup/compile
+        t1 = time.time()
+        r2 = run(jax.random.PRNGKey(1), n_iters, **tuned_kw)
+        th2 = np.asarray(r2.thetas)
+        elapsed2 = time.time() - t1
+        ess2 = float(np.min(ess(th2)))
+        tuned = {
+            "tuned_ess_per_s": round(ess2 / elapsed2, 2),
+            "tuned_ess_min_component": round(ess2, 1),
+            "tuned_iters_per_s": round(total_iters / elapsed2, 2),
+            "tuned_acceptance": round(
+                float(np.asarray(r2.acceptances).mean()) / n_iters, 3
+            ),
+        }
+
     out = {
         "metric": f"PMMH aggregate iters/s (SIR, {n_particles} particles, "
         f"T=15, {n_chains} chains/chip)",
@@ -106,6 +144,7 @@ def main():
         "ess_per_s": round(ess_per_s, 2),
         "ess_min_component": round(ess_min, 1),
         "elapsed_s": round(elapsed, 3),
+        **tuned,
     }
     print(json.dumps(out))
     return 0

@@ -10,4 +10,37 @@ chains, and sharded over device meshes.
 
 __version__ = "0.1.0"
 
-from . import models, sim, ode, observe, smc, mcmc  # noqa: F401
+
+def _enable_compilation_cache():
+    """Point JAX at a persistent on-disk compilation cache.
+
+    This container has no cache configured, so EVERY process recompiles the
+    full PMMH program (~minutes on the 2-vCPU host, per bench/test/CLI
+    invocation).  The cache makes repeat invocations of bench.py, the CLI
+    runner, and the test suite start in seconds.  Opt out with
+    EPITPU_NO_COMPILATION_CACHE=1; an explicit jax_compilation_cache_dir
+    (config or JAX_COMPILATION_CACHE_DIR env) wins.
+    """
+    import os
+
+    if os.environ.get("EPITPU_NO_COMPILATION_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".jax_cache"),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from . import models, sim, ode, observe, smc, mcmc  # noqa: F401,E402

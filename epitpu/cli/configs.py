@@ -48,13 +48,20 @@ class MCMCConfig:
     # always-resample semantics (default); 0.5 is the standard SMC choice —
     # lower marginal-likelihood variance AND less resampling work.
     resample_threshold: float = 1.0
+    # static resampling schedule: resample on every k-th observation step
+    # (weights carried between).  Unlike the ESS trigger this skips the
+    # resampling COMPUTE on off-steps (real lax.cond on the un-batched step
+    # index), worth ~25%% throughput at k=2 on TPU (PROFILE_insitu.json:
+    # resampling is ~49%% of the PMMH iteration).  1 = resample every step.
+    resample_every: int = 1
     # tau-leap binomial sampler: "fast" (threefry), "fast_rbg" (hardware RNG
     # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
     # or "exact" (jax.random.binomial, validation runs)
     sampler: str = "fast"
-    # single-chain runs: emit the reference-style live telemetry line (iter,
-    # acceptance ratio, theta, log zeta) every K iterations from inside the
-    # compiled scan (reference pmcmc.py:320-321, 405-406)
+    # emit the reference-style live telemetry line (iter, acceptance ratio,
+    # theta, log zeta) every K iterations from inside the compiled scan
+    # (reference pmcmc.py:320-321, 405-406); many-chain runs stream a
+    # chains-aggregated line
     log_every: int = 0
     # None: derive from data.y0 (sum -> n_population, initial infected -> mu);
     # set explicitly to override (sequences allowed for subgroup models)

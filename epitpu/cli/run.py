@@ -330,10 +330,11 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         steps_per_unit=m.steps_per_unit,
         resampling=m.resampling,
         resample_threshold=m.resample_threshold,
+        resample_every=m.resample_every,
         sampler=m.sampler,
-        # in-scan telemetry only composes with single-chain runs (see
-        # particle_mcmc docstring); many-chain runs get segment progress lines
-        log_every=m.log_every if m.n_chains == 1 else 0,
+        # vmap-safe in-scan telemetry: single-chain runs stream the
+        # reference's line, many-chain runs a chains-aggregated one
+        log_every=m.log_every,
     )
     import contextlib
 
@@ -594,6 +595,12 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument(
+        "--resample-every", type=int, default=None, metavar="K",
+        help="static schedule: resample only on every K-th observation "
+        "step (weights carried between; skips the resampling compute on "
+        "off-steps)",
+    )
+    ap.add_argument(
         "--resample-threshold", type=float, default=None, metavar="ALPHA",
         help="ESS-triggered conditional resampling: resample only when "
         "particle ESS < ALPHA*N (1.0 = reference always-resample; 0.5 = "
@@ -674,6 +681,8 @@ def _apply_overrides(cfg, args):
         cfg.make_plots = False
     if args.resample_threshold is not None:
         cfg.mcmc.resample_threshold = args.resample_threshold
+    if args.resample_every is not None:
+        cfg.mcmc.resample_every = args.resample_every
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:

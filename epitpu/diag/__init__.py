@@ -1,3 +1,9 @@
+from .surface import (
+    high_likelihood_map,
+    likelihood_surface,
+    offline_rescreen,
+    theta_grid,
+)
 from .stats import (
     acceptance_rate,
     burn_thin,
@@ -12,6 +18,10 @@ from .stats import (
 )
 
 __all__ = [
+    "high_likelihood_map",
+    "likelihood_surface",
+    "offline_rescreen",
+    "theta_grid",
     "acceptance_rate",
     "burn_thin",
     "ess",

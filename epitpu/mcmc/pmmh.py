@@ -102,6 +102,7 @@ def _filter_ll_and_path(
     resampling,
     sampler,
     resample_threshold,
+    resample_every,
 ):
     k_pf, k_path = jax.random.split(key)
     res = particle_filter(
@@ -118,10 +119,12 @@ def _filter_ll_and_path(
         resampling=resampling,
         sampler=sampler,
         resample_threshold=resample_threshold,
+        resample_every=resample_every,
     )
     # under conditional resampling the terminal particles carry residual
     # weights; the path's terminal draw must respect them (see sample_path)
-    terminal = res.final_logw if resample_threshold < 1.0 else None
+    carried = resample_threshold < 1.0 or resample_every > 1
+    terminal = res.final_logw if carried else None
     with jax.named_scope("path_sample"):
         traj = sample_path(k_path, res.hidden, res.ancestry, terminal)
     return res.log_likelihood, traj
@@ -138,15 +141,82 @@ def _split_theta(theta, infer_obs_param, fixed_obs_param):
 
 def _default_telemetry(i, accepts, theta, log_z):
     """The reference's live tqdm description line (pmcmc.py:320-321,
-    405-406): iteration, acceptance ratio, current theta, log zeta-hat."""
-    i = int(i)
-    ratio = float(accepts) / max(i + 1, 1)
-    th = ", ".join(f"{v:.4g}" for v in jnp.atleast_1d(theta).tolist())
-    print(
-        f"[pmmh] iter={i} acc_ratio={ratio:.3f} theta=[{th}] "
-        f"log_zeta={float(log_z):.4f}",
-        flush=True,
-    )
+    405-406): iteration, acceptance ratio, current theta, log zeta-hat.
+
+    Vmap-aware: for many-chain runs the callback arrives with a leading
+    chains axis and the line aggregates across chains (mean acceptance,
+    per-component theta mean +/- sd, mean log zeta) — the production
+    many-chain equivalent of the reference's single-chain stream."""
+    import numpy as np
+
+    i = int(np.max(np.asarray(i)))  # iteration counter, equal across chains
+    accepts = np.atleast_1d(np.asarray(accepts))
+    theta = np.atleast_2d(np.asarray(theta))
+    log_z = np.atleast_1d(np.asarray(log_z))
+    ratio = float(accepts.mean()) / max(i + 1, 1)
+    if theta.shape[0] == 1:
+        th = ", ".join(f"{v:.4g}" for v in theta[0].tolist())
+        print(
+            f"[pmmh] iter={i} acc_ratio={ratio:.3f} theta=[{th}] "
+            f"log_zeta={float(log_z[0]):.4f}",
+            flush=True,
+        )
+    else:
+        mean = ", ".join(f"{v:.4g}" for v in theta.mean(axis=0).tolist())
+        sd = ", ".join(f"{v:.3g}" for v in theta.std(axis=0).tolist())
+        print(
+            f"[pmmh] iter={i} chains={theta.shape[0]} "
+            f"acc_ratio={ratio:.3f} theta_mean=[{mean}] theta_sd=[{sd}] "
+            f"log_zeta_mean={float(log_z.mean()):.4f}",
+            flush=True,
+        )
+
+
+def _chain_aggregated_telemetry(n_chains):
+    """Host-side aggregator for vmapped chains: ``jax.debug.callback``
+    un-batches under vmap (one scalar call per chain), so the host buffers
+    the per-chain calls for each iteration and emits ONE chains-aggregated
+    line once all ``n_chains`` have reported.  Cached so the callable's
+    identity is stable across segments (it is a static jit argname)."""
+    import functools  # noqa: F401  (documents the lru_cache below)
+
+    buf = {}
+
+    def cb(i, accepts, theta, log_z):
+        import numpy as np
+
+        it = int(np.asarray(i))
+        buf.setdefault(it, []).append(
+            (np.asarray(accepts), np.asarray(theta), np.asarray(log_z))
+        )
+        if len(buf[it]) >= n_chains:
+            acc, th, lz = zip(*buf.pop(it))
+            _default_telemetry(it, np.stack(acc), np.stack(th), np.stack(lz))
+
+    return cb
+
+
+_AGGREGATORS = {}
+
+
+def chain_aggregated_telemetry(n_chains):
+    if n_chains not in _AGGREGATORS:
+        _AGGREGATORS[n_chains] = _chain_aggregated_telemetry(n_chains)
+    return _AGGREGATORS[n_chains]
+
+
+def _throttled(tel, stride):
+    """Host-side stride gate: the in-scan callback fires unconditionally
+    (a ``lax.cond`` guard would be batched under vmap, executing both
+    branches anyway), and the host simply drops non-stride iterations."""
+    def cb(i, accepts, theta, log_z):
+        import numpy as np
+
+        if int(np.max(np.asarray(i))) % stride:
+            return
+        tel(i, accepts, theta, log_z)
+
+    return cb
 
 
 def particle_mcmc(
@@ -167,6 +237,7 @@ def particle_mcmc(
     steps_per_unit: int = 20,
     resampling: str = "systematic",
     resample_threshold: float = 1.0,
+    resample_every: int = 1,
     adapt_start: int = 1000,
     n_init_attempts: int = 16,
     pool_axes: tuple = (),
@@ -175,6 +246,7 @@ def particle_mcmc(
     segment_len: Optional[int] = None,
     log_every: int = 0,
     telemetry_fn=None,
+    pooled_adaptation: bool = False,
 ) -> PMMHResult:
     """Run one PMMH chain.  Mirrors ``particle_mcmc`` (reference
     pmcmc.py:251-408) with ``obs_param``/``infer_obs_param`` replacing the
@@ -200,10 +272,9 @@ def particle_mcmc(
 
     ``log_every > 0`` emits a live telemetry line every that many iterations
     via ``jax.debug.callback`` — the reference's per-iteration tqdm stream
-    (pmcmc.py:320-321, 405-406).  Intended for unvmapped (single-chain) runs:
-    under ``vmap`` the guard predicate is batched and JAX would run both
-    ``cond`` branches; use the runner's segment-level progress lines for
-    many-chain production runs.
+    (pmcmc.py:320-321, 405-406).  Vmap-safe: the callback fires
+    unconditionally and the host drops non-stride iterations, so many-chain
+    runs stream a chains-aggregated line (mean acceptance, theta mean/sd).
     """
     if adaptive and adapt_start >= n_iters - 1:
         import warnings
@@ -221,8 +292,6 @@ def particle_mcmc(
         sigma, jnp.float32
     )
     h = jnp.asarray(h, jnp.float32)
-    t_len, _ = y.shape
-    c_latent = model.num_compartments
 
     run_filter = partial(
         _filter_ll_and_path,
@@ -235,6 +304,7 @@ def particle_mcmc(
         resampling=resampling,
         sampler=sampler,
         resample_threshold=resample_threshold,
+        resample_every=resample_every,
     )
 
     def propose(k, center, cov):
@@ -282,8 +352,7 @@ def particle_mcmc(
         w0 = w0.update(theta_init)  # thetas[0] enters the adaptive history
         accepts0 = jnp.asarray(1, jnp.int32)
         step0 = jnp.asarray(0, jnp.int32)  # last produced row index
-        n_rows = n_iters if segment_len is None else segment_len
-        n_scan = n_rows - 1
+        n_scan = (n_iters if segment_len is None else segment_len) - 1
         key_start = jnp.asarray(0, jnp.int32)
     else:
         theta_init = init_state.theta
@@ -298,8 +367,7 @@ def particle_mcmc(
                 "resumed calls (init_state given) must pass segment_len — "
                 "the number of new rows to produce"
             )
-        n_scan = segment_len
-        n_rows = n_scan  # the duplicated init row is NOT re-emitted
+        n_scan = segment_len  # the duplicated init row is NOT re-emitted
         # row step+1 is produced with keys_all[step]
         key_start = step0
 
@@ -344,11 +412,12 @@ def particle_mcmc(
 
         if log_every:
             tel = _default_telemetry if telemetry_fn is None else telemetry_fn
-            jax.lax.cond(
-                (i % log_every) == 0,
-                lambda args: jax.debug.callback(tel, *args),
-                lambda args: None,
-                (i, accepts, theta, ll),
+            # unconditional callback + host-side stride gate: vmap-safe, so
+            # many-chain production runs stream live aggregated progress
+            # (round-2 limitation removed)
+            jax.debug.callback(
+                _throttled(tel, log_every), i, accepts, theta, ll,
+                ordered=False,
             )
         return (theta, ll, traj, w, accepts, i + 1), (theta, ll, traj)
 
@@ -370,7 +439,6 @@ def particle_mcmc(
         acceptances=accepts,
         step=i_f - 1,
     )
-    del c_latent, t_len, n_rows
     return PMMHResult(
         thetas=thetas,
         log_likelihoods=lls,
@@ -380,11 +448,16 @@ def particle_mcmc(
     )
 
 
+# axis name of the on-chip vmapped chains batch (pooled adaptation
+# collectives ride it; the sharded path nests it inside the mesh axis)
+CHAIN_VMAP_AXIS = "chain_vmap"
+
 _STATIC_NAMES = (
     "model", "obs_loglik", "adaptive", "n_iters", "infer_obs_param",
     "n_particles", "steps_per_unit", "resampling", "resample_threshold",
-    "adapt_start",
+    "resample_every", "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
+    "pool_axes",
 )
 
 
@@ -400,8 +473,8 @@ def _chains_jit(model, obs_loglik, keys, y, parameters, h,
         model, obs_loglik, k, y, parameters, h, init_state=st, **kwargs
     )
     if init_state is None:
-        return jax.vmap(lambda k: fn(k, None))(keys)
-    return jax.vmap(fn)(keys, init_state)
+        return jax.vmap(lambda k: fn(k, None), axis_name=CHAIN_VMAP_AXIS)(keys)
+    return jax.vmap(fn, axis_name=CHAIN_VMAP_AXIS)(keys, init_state)
 
 
 def particle_mcmc_chains(
@@ -423,12 +496,15 @@ def particle_mcmc_chains(
     steps_per_unit: int = 20,
     resampling: str = "systematic",
     resample_threshold: float = 1.0,
+    resample_every: int = 1,
     adapt_start: int = 1000,
     n_init_attempts: int = 16,
     sampler: str = "fast",
     init_state: Optional[PMMHState] = None,
     segment_len: Optional[int] = None,
     log_every: int = 0,
+    telemetry_fn=None,
+    pooled_adaptation: bool = False,
 ) -> PMMHResult:
     """Run ``n_chains`` independent PMMH chains vmapped on one device, as ONE
     compiled XLA program (eager dispatch through the tunneled TPU costs
@@ -440,7 +516,15 @@ def particle_mcmc_chains(
     ``init_state`` (a chain-batched PMMHState, e.g. a previous result's
     ``final_state`` or a loaded checkpoint) plus ``segment_len`` resume /
     segment the chains exactly — see ``particle_mcmc``.  Resumed calls must
-    pass the SAME master ``key`` and total ``n_iters``."""
+    pass the SAME master ``key`` and total ``n_iters``.
+
+    ``log_every > 0`` streams a live chains-AGGREGATED telemetry line every
+    that many iterations (mean acceptance, theta mean/sd across chains) —
+    the many-chain production equivalent of the reference's per-iteration
+    tqdm stream (reference pmcmc.py:405-406)."""
+    if log_every and n_chains > 1 and telemetry_fn is None:
+        telemetry_fn = chain_aggregated_telemetry(n_chains)
+    pool_axes = (CHAIN_VMAP_AXIS,) if pooled_adaptation else ()
     keys = jax.random.split(key, n_chains)
     return _chains_jit(
         model, obs_loglik, keys, y,
@@ -450,7 +534,8 @@ def particle_mcmc_chains(
         infer_obs_param=infer_obs_param, n_particles=n_particles,
         n_population=n_population, mu=mu, steps_per_unit=steps_per_unit,
         resampling=resampling, resample_threshold=resample_threshold,
-        adapt_start=adapt_start,
+        resample_every=resample_every, adapt_start=adapt_start,
         n_init_attempts=n_init_attempts, sampler=sampler,
         segment_len=segment_len, log_every=log_every,
+        telemetry_fn=telemetry_fn, pool_axes=pool_axes,
     )

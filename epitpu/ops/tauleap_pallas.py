@@ -27,15 +27,17 @@ kernel time.  Use this op for *top-level pipelined* propagation workloads
 (batched forward simulation, ABC candidate sweeps); revisit as the platform's
 custom-call dispatch improves.
 
-Batching: ``pallas_advance`` accepts ANY leading batch shape on
-(seeds, x, theta) and flattens it into the kernel grid; a ``custom_vmap``
-rule re-expresses ``vmap`` (at any nesting depth — PMMH vmaps chains and
-init attempts) through the same flattening path, because the default
-pallas_call batching rule cannot block scalar SMEM operands.
+Because every sequential-loop use is ruled out by that per-trip overhead,
+the per-chain fused ``pallas_advance`` op (advance WITHOUT trajectory
+recording, plus its custom_vmap flattening machinery) had no production
+path and was removed in round 3; ``pallas_simulate`` — the per-lane
+trajectory-recording variant — covers every top-level pipelined workload
+the framework ships (ABC candidate sweeps, posterior-predictive forecasts,
+app overlays).
 
 Layout: the kernel works on x as [C, N/128, 128] compartment planes (lane
-dimension 128); the wrapper transposes from the filter's [..., N, C] layout
-at the boundary (12 KB per call — negligible).
+dimension 128); wrappers transpose from the filter's [..., N, C] layout at
+the boundary (12 KB per call — negligible).
 
 Replaces the reference PF's per-particle joblib Gillespie fan-out
 (reference pmcmc.py:200-220) on the TPU fast path.
@@ -43,7 +45,7 @@ Replaces the reference PF's per-particle joblib Gillespie fan-out
 from __future__ import annotations
 
 import functools
-import math
+
 
 import jax
 import jax.numpy as jnp
@@ -156,29 +158,6 @@ def _make_substep(model, dt: float, theta):
     return substep
 
 
-def _make_kernel(model, n_steps: int, dt: float):
-    """Kernel over one chain's cloud: x_ref [1, C, n_rows, 128]; per-chain
-    theta in SMEM rows; per-chain PRNG seed in SMEM."""
-    c_dim = model.num_compartments
-
-    def kernel(seed_ref, theta_ref, x_ref, o_ref):
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[pid])
-        theta_vec = jnp.stack(
-            [theta_ref[pid, i] for i in range(model.theta_dim)]
-        )
-        substep = _make_substep(model, dt, theta_vec)
-        x0 = tuple(x_ref[0, c] for c in range(c_dim))  # each [n_rows, 128]
-        x_final = jax.lax.fori_loop(0, n_steps, substep, x0)
-        for c in range(c_dim):
-            o_ref[0, c] = x_final[c]
-
-    return kernel
-
-
 def _make_traj_kernel(model, t_max: int, n_sub: int, dt: float):
     """Trajectory-recording kernel with PER-LANE parameters: every lane of
     the [n_rows, 128] tile carries its own (theta, x0) candidate, so one grid
@@ -211,89 +190,6 @@ def _make_traj_kernel(model, t_max: int, n_sub: int, dt: float):
                 o_ref[0, t, c] = x[c]
 
     return kernel
-
-
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _pallas_advance_impl(model, seeds, x, theta, t_span, steps_per_unit):
-    """Flat batched implementation: seeds [B] i32, x [B, N, C] f32,
-    theta [B, d] f32 -> [B, N, C]."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, n, c_dim = x.shape
-    n_rows = n // _LANES
-    n_steps = int(round(t_span * steps_per_unit))
-    dt = t_span / n_steps
-
-    xp = jnp.transpose(x, (0, 2, 1)).reshape(b, c_dim, n_rows, _LANES)
-    kernel = _make_kernel(model, n_steps, dt)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, c_dim, n_rows, _LANES), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # theta [B, d]
-            pl.BlockSpec(
-                (1, c_dim, n_rows, _LANES),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, c_dim, n_rows, _LANES),
-            lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )(seeds, theta, xp)
-    return jnp.transpose(out.reshape(b, c_dim, n), (0, 2, 1))
-
-
-def make_pallas_advance(model, t_span: float, steps_per_unit: int):
-    """Build the vmap-composable fused propagation op for ``model``.
-
-    Returns ``adv(seeds, x, theta)`` accepting any (matching) leading batch
-    shape: seeds [...], x [..., N, C], theta [..., d].  N must be a multiple
-    of 128 and the model must have one reaction per source compartment (all
-    built-ins do) — callers fall back to the XLA scan path otherwise.
-    """
-    if not model.sources_unique:
-        raise NotImplementedError(
-            "pallas advance requires one reaction per source compartment"
-        )
-
-    @jax.custom_batching.custom_vmap
-    def adv(seeds, x, theta):
-        lead = x.shape[:-2]
-        n, c_dim = x.shape[-2:]
-        if n % _LANES:
-            raise ValueError(f"n_particles must be a multiple of {_LANES}")
-        b = math.prod(lead) if lead else 1
-        seeds_f = jnp.broadcast_to(seeds, lead).reshape(b).astype(jnp.int32)
-        theta_f = jnp.broadcast_to(
-            theta, lead + theta.shape[-1:]
-        ).reshape(b, theta.shape[-1]).astype(jnp.float32)
-        x_f = x.reshape(b, n, c_dim).astype(jnp.float32)
-        out = _pallas_advance_impl(
-            model, seeds_f, x_f, theta_f, t_span, steps_per_unit
-        )
-        return out.reshape(lead + (n, c_dim))
-
-    @adv.def_vmap
-    def _vmap_rule(axis_size, in_batched, seeds, x, theta):
-        sb, xb, tb = in_batched
-        if not xb:
-            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-        if not sb:
-            seeds = jnp.broadcast_to(
-                jnp.asarray(seeds)[None], (axis_size,) + jnp.shape(seeds)
-            )
-        if not tb:
-            theta = jnp.broadcast_to(theta[None], (axis_size,) + theta.shape)
-        # re-expressed through `adv` itself, so further vmap levels compose
-        return adv(seeds, x, theta), True
-
-    return adv
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
@@ -380,17 +276,3 @@ def pallas_simulate(model, seed, x0, theta, t_max, steps_per_unit=20):
         model, seeds, xp, thetap, int(t_max), int(steps_per_unit), n_rows
     )  # [G, T+1, C, rows, 128]
     return out.transpose(0, 3, 4, 1, 2).reshape(b, t_max + 1, c_dim)
-
-
-@functools.lru_cache(maxsize=None)
-def _cached_advance(model, t_span, steps_per_unit):
-    return make_pallas_advance(model, t_span, steps_per_unit)
-
-
-def pallas_advance(model, seeds, x, theta, t_span, steps_per_unit=20):
-    """Drop-in fused propagation (see make_pallas_advance).  seeds: int32
-    per-batch PRNG seeds — derive per step (e.g. ``jax.random.bits``) so
-    streams never repeat."""
-    return _cached_advance(model, float(t_span), int(steps_per_unit))(
-        seeds, x, jnp.asarray(theta, jnp.float32)
-    )

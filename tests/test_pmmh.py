@@ -291,3 +291,23 @@ def test_subgroup_pergroup_pmmh_posterior_recovery():
     lo, hi = np.quantile(post[:, 4], [0.01, 0.99])
     assert lo < gamma_true < hi, (lo, gamma_true, hi)
     assert abs(post[:, 4].mean() - gamma_true) < 0.3
+
+
+def test_many_chain_live_telemetry(sir_dataset, capfd):
+    """Vmapped chains stream a chains-aggregated in-scan telemetry line
+    (round-2 limitation: telemetry was single-chain only and force-disabled
+    for n_chains > 1)."""
+    y, _ = sir_dataset
+    r = particle_mcmc_chains(
+        sir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(2), y, jnp.array([2.0, 1.0]), 0.05,
+        n_chains=3, n_iters=9, n_particles=16, steps_per_unit=2,
+        n_init_attempts=2, log_every=4,
+    )
+    np.asarray(r.thetas)  # sync so callbacks flush
+    out = capfd.readouterr().out
+    assert "chains=3" in out
+    assert "theta_mean=" in out and "theta_sd=" in out
+    # stride gating: iteration 4 and 8 lines present, odd iterations absent
+    assert "iter=4" in out or "iter=8" in out
+    assert "iter=3 " not in out and "iter=5 " not in out
