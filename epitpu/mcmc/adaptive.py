@@ -50,7 +50,6 @@ class Welford:
     def pooled(self, axis_name):
         """Merge accumulators across a named (vmap/shard_map) chain axis —
         the parallel-chains generalization of adaptive covariance."""
-        n = jax.lax.psum(jnp.ones_like(self.count), axis_name)
         count = jax.lax.psum(self.count, axis_name)
         mean_w = jax.lax.psum(self.count * self.mean, axis_name) / jnp.maximum(
             count, 1.0
@@ -60,5 +59,4 @@ class Welford:
         m2 = jax.lax.psum(
             self.m2 + self.count * jnp.outer(delta, delta), axis_name
         )
-        del n
         return Welford(count=count, mean=mean_w, m2=m2)

@@ -58,7 +58,18 @@ def _safe_cdf(logw):
 
 def _compare_reduce_ancestors(cdf, points):
     """anc[..., j] = #{k : cdf[..., k] < points[..., j]} via a broadcast
-    compare fused into a sum — no searchsorted, no gather."""
+    compare fused into a sum — no searchsorted, no gather.
+
+    Round-3 note: an exact two-level blocked decomposition (compare block
+    maxima, gather each point's straddling block, compare within — 32.8x
+    fewer compares at N=4096) was implemented and benchmarked END-TO-END
+    SLOWER (1136 vs 1337 PMMH iters/s at 16x4096): the per-point row
+    gather costs more than the N^2 compare it saves, because XLA streams
+    the broadcast-compare-reduce at near peak VPU rate while TPU gathers
+    serialize.  The flat form stays.  The resampling COST lever that does
+    work is skipping steps entirely (``resample_every`` /
+    ``resample_threshold`` in epitpu.smc.filter: +33% iters/s at k=2 with
+    unchanged ESS)."""
     n = cdf.shape[-1]
     anc = jnp.sum(
         (cdf[..., None, :] < points[..., :, None]).astype(jnp.int32), axis=-1
@@ -119,13 +130,11 @@ def systematic_resample_scatter(key, logw):
     ``systematic_resample`` (boundary ties ``p_j == cdf_k`` resolve to the
     other side — a measure-zero event).  Batch dims vmap-expand.
 
-    Measured on TPU v5e (in-scan, amortized): the compare-reduce costs
-    ~1 us per [16 x 4096] resample — XLA streams the N^2 compare at near
-    peak VPU rate and it is NOT the filter bottleneck (round-2 PROFILE.json
-    overstated it; the in-situ trace shows propagation dominating).  The
-    scatter path only pays off at much larger N (>= 16k) or on backends
-    without the fused compare-reduce; hence it ships as the opt-in
-    ``resampling="systematic_scatter"`` rather than the default."""
+    Measured on TPU v5e END-TO-END at [16 chains x 4096 particles]: 895
+    PMMH iters/s vs the flat compare-reduce's 1337 — the scatter-add
+    serializes on TPU and loses despite the asymptotic advantage, so this
+    ships as the opt-in ``resampling="systematic_scatter"`` (for much
+    larger N or scatter-friendly backends) rather than the default."""
     n = logw.shape[-1]
     cdf, degenerate = _safe_cdf(logw)
     total = cdf[..., -1:]

@@ -55,8 +55,8 @@ RNG_OP_RE = re.compile(
 
 
 def build_workload(n_chains, n_iters, n_particles, sampler, steps_per_unit,
-                   resample_threshold=1.0, adaptive=False, adapt_start=10**9,
-                   h=0.05):
+                   resample_threshold=1.0, resample_every=1, adaptive=False,
+                   adapt_start=10**9, h=0.05):
     """The exact bench.py workload, returned as (jitted fn, args)."""
     import jax
     import jax.numpy as jnp
@@ -84,6 +84,7 @@ def build_workload(n_chains, n_iters, n_particles, sampler, steps_per_unit,
             obs_param=0.1, n_particles=n_particles, n_population=4820,
             mu=20.0, steps_per_unit=steps_per_unit, n_init_attempts=2,
             sampler=sampler, resample_threshold=resample_threshold,
+            resample_every=resample_every,
         )
         return jax.vmap(f)(keys).thetas
 
@@ -194,6 +195,7 @@ def main():
     ap.add_argument("--steps-per-unit", type=int, default=20)
     ap.add_argument("--sampler", default="fast_rbg")
     ap.add_argument("--resample-threshold", type=float, default=1.0)
+    ap.add_argument("--resample-every", type=int, default=1)
     ap.add_argument("--out", default="PROFILE_insitu.json")
     args = ap.parse_args()
 
@@ -202,7 +204,7 @@ def main():
     print("building workload...", flush=True)
     fn, keys = build_workload(
         args.chains, args.iters, args.particles, args.sampler,
-        args.steps_per_unit, args.resample_threshold,
+        args.steps_per_unit, args.resample_threshold, args.resample_every,
     )
     print("lowering...", flush=True)
     lowered = fn.lower(keys)
@@ -245,6 +247,7 @@ def main():
             "particles": args.particles, "sampler": args.sampler,
             "steps_per_unit": args.steps_per_unit,
             "resample_threshold": args.resample_threshold,
+            "resample_every": args.resample_every,
         },
         "total_device_us": round(total_us, 1),
         "wall_s": round(wall_s, 3),

@@ -311,3 +311,27 @@ def test_many_chain_live_telemetry(sir_dataset, capfd):
     # stride gating: iteration 4 and 8 lines present, odd iterations absent
     assert "iter=4" in out or "iter=8" in out
     assert "iter=3 " not in out and "iter=5 " not in out
+
+
+def test_pooled_adaptation_chains(sir_dataset):
+    """pooled_adaptation=True pools Welford moments across the vmapped
+    chains via collectives on the chain_vmap axis: all chains then share
+    one proposal covariance, and the run stays finite/recovering."""
+    y, _ = sir_dataset
+    r = particle_mcmc_chains(
+        sir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(4), y, jnp.array([2.0, 1.0]), 0.2,
+        n_chains=4, n_iters=60, n_particles=64, steps_per_unit=5,
+        n_init_attempts=2, adaptive=True, adapt_start=10,
+        pooled_adaptation=True,
+    )
+    th = np.asarray(r.thetas)
+    assert th.shape == (4, 60, 2)
+    assert np.isfinite(th).all()
+    # chains keep moving after adaptation engages (pooled cov is positive
+    # definite, not collapsed)
+    post = th[:, 20:, :]
+    assert (post.std(axis=1) > 0).all()
+    # posterior brackets truth loosely
+    assert abs(post[..., 0].mean() - 2.0) < 1.0
+    assert abs(post[..., 1].mean() - 1.0) < 0.6

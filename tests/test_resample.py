@@ -142,3 +142,4 @@ def test_scatter_systematic_counts_match_weights():
     counts = np.bincount(np.asarray(idx), minlength=n)
     expect = n * np.asarray(jnp.exp(logw - jax.scipy.special.logsumexp(logw)))
     assert (np.abs(counts - expect) <= 1.0 + 1e-3).all()
+
