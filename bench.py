@@ -120,12 +120,15 @@ def main():
     # ALL vmapped chains via collectives (Welford, reference pmcmc.py:327-328
     # upgraded with cross-chain pooling) engaging after 16 iterations.  The
     # scale h on the adapted covariance was tuned empirically on-chip
-    # (h sweep at this workload: h=0.2 -> 47% acceptance, best ESS/s; the
-    # noise-free Roberts-Rosenthal 2.38^2/d over-steps because the PMMH
-    # log-likelihood estimate itself is noisy).  Same workload, same chip;
-    # reported alongside the fixed-h number so both throughput and
-    # sampling efficiency are honest.
-    tuned_kw = dict(adaptive=True, h=0.2, adapt_start=16, pooled=True)
+    # (multi-seed h sweep at this workload: h=0.15 -> ~53% acceptance and
+    # the best mean ESS/s; the noise-free Roberts-Rosenthal 2.38^2/d
+    # over-steps because the PMMH log-likelihood estimate itself is
+    # noisy).  NOTE: min-component ESS over 128 iterations has ~25%
+    # run-to-run noise, so tuned vs fixed-h ESS/s differences within that
+    # band are not meaningful.  Same workload, same chip; reported
+    # alongside the fixed-h number so both throughput and sampling
+    # efficiency are honest.
+    tuned_kw = dict(adaptive=True, h=0.15, adapt_start=16, pooled=True)
     if os.environ.get("BENCH_SKIP_TUNED"):
         tuned = {}
     else:
