@@ -113,6 +113,12 @@ class ExperimentConfig:
     checkpoint_every: int = 0
     resume: bool = False  # continue from the checkpoint if one exists
     profile_dir: str = ""  # wrap the sampler in jax.profiler.trace(dir)
+    # >0: also evaluate the PF log-likelihood on a surface_points^2 grid of
+    # the first two theta components around theta_true, saving surface.csv
+    # + a heatmap (the reference's likelihood-map workflow,
+    # tests/testing_sbgrps.py:35-49)
+    surface_points: int = 0
+    surface_span: float = 1.5
 
     def to_json(self):
         return json.dumps(dataclasses.asdict(self), indent=2)

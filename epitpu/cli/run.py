@@ -440,6 +440,53 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
                 truth=None,
             )
 
+    if cfg.surface_points > 0:
+        # likelihood-surface map around theta_true (reference
+        # tests/testing_sbgrps.py:35-49); grid over the first two theta
+        # components, remaining components pinned at truth
+        from ..diag import high_likelihood_map, likelihood_surface, theta_grid
+        from ..observe import get_observation_model as _gom
+
+        tt = np.asarray(cfg.data.theta_true, dtype=float)
+        span = cfg.surface_span
+        ranges = [
+            (max(1e-3, tt[0] - span), tt[0] + span),
+            (max(1e-3, tt[1] - span), tt[1] + span),
+        ]
+        grid2 = theta_grid(ranges, cfg.surface_points)
+        if tt.shape[0] > 2:
+            rest = np.broadcast_to(tt[2:], (grid2.shape[0], tt.shape[0] - 2))
+            grid_full = np.concatenate([grid2, rest], axis=1).astype(np.float32)
+        else:
+            grid_full = grid2
+        lls = likelihood_surface(
+            model, obs, jax.random.PRNGKey(cfg.seed + 2), jnp.asarray(y),
+            grid_full, obs_param=cfg.data.obs_param,
+            n_particles=m.n_particles, n_population=n_population, mu=mu,
+            steps_per_unit=m.steps_per_unit,
+        )
+        np.savetxt(
+            os.path.join(out_root, "surface.csv"),
+            np.concatenate([grid2, lls[:, None]], axis=1),
+            delimiter=",",
+            header=f"{names[0]},{names[1]},log_likelihood",
+        )
+        mask, _ = high_likelihood_map(grid_full, lls, quantile=0.5)
+        report["surface"] = {
+            "points": int(grid2.shape[0]),
+            "argmax_theta": grid2[
+                int(np.nanargmax(np.where(np.isfinite(lls), lls, -np.inf)))
+            ].tolist(),
+            "high_likelihood_count": int(mask.sum()),
+        }
+        if cfg.make_plots:
+            from ..viz import surface_heatmap
+
+            gdir = os.path.join(cfg.graphs_dir, cfg.name, "run1")
+            surface_heatmap(
+                grid2, lls, gdir, names=names[:2], truth=tt[:2].tolist()
+            )
+
     if cfg.make_plots:
         from ..viz import multi_chain_traces, plot_pmmh_suite
 
@@ -595,6 +642,12 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument(
+        "--surface", type=int, default=None, metavar="P",
+        help="also evaluate the PF likelihood on a PxP (beta, gamma) grid "
+        "around theta_true: surface.csv + heatmap (reference "
+        "likelihood-map workflow)",
+    )
+    ap.add_argument(
         "--resample-every", type=int, default=None, metavar="K",
         help="static schedule: resample only on every K-th observation "
         "step (weights carried between; skips the resampling compute on "
@@ -683,6 +736,8 @@ def _apply_overrides(cfg, args):
         cfg.mcmc.resample_threshold = args.resample_threshold
     if args.resample_every is not None:
         cfg.mcmc.resample_every = args.resample_every
+    if args.surface is not None:
+        cfg.surface_points = args.surface
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:

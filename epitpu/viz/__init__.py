@@ -6,6 +6,7 @@ from .plots import (
     pair_plot,
     particle_cloud_plot,
     plot_pmmh_suite,
+    surface_heatmap,
     sweep_comparison_plot,
     trace_plots,
     trajectory_fan,
@@ -19,6 +20,7 @@ __all__ = [
     "pair_plot",
     "particle_cloud_plot",
     "plot_pmmh_suite",
+    "surface_heatmap",
     "sweep_comparison_plot",
     "trace_plots",
     "trajectory_fan",

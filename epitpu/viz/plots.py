@@ -261,6 +261,32 @@ def multi_chain_traces(chains, directory, names=None, suffix="_chains"):
     return paths
 
 
+def surface_heatmap(grid2, lls, directory, names=("beta", "gamma"),
+                    truth=None, name="surface.png"):
+    """Likelihood-surface heatmap over a 2-D theta grid (the reference's
+    likelihood-map workflow, tests/testing_sbgrps.py:35-49).  grid2 [G, 2]
+    must be a theta_grid (row-major square); lls [G] PF log-likelihoods."""
+    plt = _plt()
+    import numpy as np
+
+    g = np.asarray(grid2)
+    z = np.asarray(lls, dtype=float)
+    p = int(round(np.sqrt(g.shape[0])))
+    xs = g[:, 0].reshape(p, p)
+    ys = g[:, 1].reshape(p, p)
+    zz = np.where(np.isfinite(z), z, np.nan).reshape(p, p)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    pc = ax.pcolormesh(xs, ys, zz, shading="auto")
+    fig.colorbar(pc, ax=ax, label="log likelihood")
+    if truth is not None:
+        ax.plot([truth[0]], [truth[1]], "r*", markersize=12, label="truth")
+        ax.legend()
+    ax.set_xlabel(names[0])
+    ax.set_ylabel(names[1])
+    ax.set_title("PF log-likelihood surface")
+    return _save(fig, directory, name)
+
+
 def particle_cloud_plot(
     hidden, ancestry, directory, compartment=1, name="particles.png"
 ):

@@ -308,3 +308,24 @@ def test_adapt_start_dead_zone_warns(sir_dataset):
             0.05, adaptive=True, n_iters=10, adapt_start=10,
             n_particles=8, steps_per_unit=2, n_init_attempts=2,
         )
+
+
+def test_likelihood_surface_artifact(tmp_path):
+    """--surface P evaluates the PF likelihood grid around theta_true and
+    writes surface.csv + surface.png (reference likelihood-map workflow,
+    testing_sbgrps.py:35-49)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.make_plots = True
+    cfg.surface_points = 4
+    cfg.surface_span = 1.0
+    cfg.mcmc.n_iters = 20
+    result, report = run_experiment(cfg, verbose=False)
+    surf = np.loadtxt(
+        tmp_path / "data" / "tiny" / "surface.csv", delimiter=","
+    )
+    assert surf.shape == (16, 3)
+    assert report["surface"]["points"] == 16
+    assert len(report["surface"]["argmax_theta"]) == 2
+    assert os.path.exists(
+        tmp_path / "graphs" / "tiny" / "run1" / "surface.png"
+    )
