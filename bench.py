@@ -45,15 +45,19 @@ def main():
     sampler = os.environ.get("BENCH_SAMPLER", "fast_rbg")
     resampling = os.environ.get("BENCH_RESAMPLING", "systematic")
     resample_threshold = float(os.environ.get("BENCH_RESAMPLE_THRESHOLD", "1.0"))
-    # resample_every=2 is the production configuration: resampling every
-    # other observation step with carried weights is an exactly-valid
-    # pseudo-marginal PMMH (unbiased logZ estimator -> same posterior), and
-    # measured ESS is UNCHANGED (109.6 vs 108.2 min-component) while the
-    # N^2 resampling work halves: +33% iters/s (PROFILE_insitu.json:
-    # resampling is ~49% of the always-resample iteration).  The
-    # reference-semantics number (resample every step) is reported
-    # alongside as ref_iters_per_s / ref_ess_per_s.
-    resample_every = int(os.environ.get("BENCH_RESAMPLE_EVERY", "2"))
+    # resample_every=4 is the production configuration: resampling every
+    # 4th observation step with carried weights is an exactly-valid
+    # pseudo-marginal PMMH (unbiased logZ estimator -> same posterior).
+    # Multi-seed on-chip sweep of the schedule depth (3 seeds each):
+    #   every=1: 1336 iters/s, ESS/s 70.6      (reference semantics)
+    #   every=2: 1764 iters/s, ESS/s 77.8+-24
+    #   every=4: 2413 iters/s, ESS/s 91.3+-34
+    #   every=7: 2645 iters/s, ESS/s 88.9+-30
+    # ESS is flat within noise while the N^2 resampling work (49% of the
+    # always-resample iteration, PROFILE_insitu.json) drops ~4x.  The
+    # reference-semantics number is reported alongside as
+    # ref_iters_per_s / ref_ess_per_s.
+    resample_every = int(os.environ.get("BENCH_RESAMPLE_EVERY", "4"))
 
     t = np.linspace(0, 14, 100)
     df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)

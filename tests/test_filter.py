@@ -220,22 +220,24 @@ def test_conditional_resampling_degenerate_still_neg_inf():
     assert np.isfinite(np.asarray(res.final_logw)).all()
 
 
-def test_resample_every_schedule(sir_dataset):
+@pytest.mark.parametrize("every", [2, 4])
+def test_resample_every_schedule(sir_dataset, every):
     """Static resample schedule: off-steps keep identity ancestry, scheduled
-    steps resample; estimator consistent with always-resample."""
+    steps resample; estimator consistent with always-resample.  every=4 is
+    the production bench configuration."""
     y, _ = sir_dataset
     m = sir_model()
     obs = get_observation_model("binomial")
     res = particle_filter_jit(
         m, obs, jax.random.PRNGKey(1), y, THETA, 0.1, 256,
-        4820, 20.0, resample_every=2,
+        4820, 20.0, resample_every=every,
     )
     assert np.isfinite(float(res.log_likelihood))
     anc = np.asarray(res.ancestry[1:])
     iota = np.arange(256)
     identity_rows = np.array([(row == iota).all() for row in anc])
-    # schedule: scan steps p=1..T-1 resample iff p % 2 == 0
-    expect_skip = (np.arange(1, y.shape[0]) % 2) != 0
+    # schedule: scan steps p=1..T-1 resample iff p % every == 0
+    expect_skip = (np.arange(1, y.shape[0]) % every) != 0
     assert (identity_rows == expect_skip).all(), (
         identity_rows, expect_skip
     )
@@ -244,7 +246,7 @@ def test_resample_every_schedule(sir_dataset):
     keys = jax.random.split(jax.random.PRNGKey(3), 16)
     ll_always = np.asarray(jax.vmap(lambda k: _ll(y, THETA, k, 512))(keys))
     ll_sched = np.asarray(
-        jax.vmap(lambda k: _ll(y, THETA, k, 512, resample_every=2))(keys)
+        jax.vmap(lambda k: _ll(y, THETA, k, 512, resample_every=every))(keys)
     )
     se = np.sqrt(ll_always.var() / 16 + ll_sched.var() / 16)
     assert abs(ll_always.mean() - ll_sched.mean()) < 4 * se + 0.5
