@@ -34,12 +34,16 @@ def main():
     from epitpu.ode import sir_simulate_discrete
 
     n_particles = 4096
-    # 16 vmapped chains is the measured throughput sweet spot on one v5e chip
-    # (SCALING.json tpu_chain_sweep; PROFILE.json), and "fast_rbg" draws the
-    # tau-leap randomness from the hardware RNG instead of threefry (~70% of
-    # the propagate phase — PROFILE.json), same trajectory law
-    # (tests/test_sim.py::test_fast_rbg_sampler_matches_exact_moments).
-    n_chains = int(os.environ.get("BENCH_CHAINS", "16"))
+    # 32 vmapped chains balances the round-3 measurements at the
+    # resample_every=4 production schedule (2-seed, on-chip):
+    #   chains=16: 2413 iters/s, ESS/s 91      chains=32: 2469, 87
+    #   chains=64: 2022, 54                    chains=128: 2737, 73
+    # (128 maximizes raw iters/s; 32 keeps ESS/s within noise of the best
+    # while adding throughput over 16.)  "fast_rbg" draws the tau-leap
+    # randomness from the TPU hardware RNG instead of threefry — same
+    # trajectory law (tests/test_sim.py::test_fast_rbg_sampler_matches_
+    # exact_moments).
+    n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "128"))
     steps_per_unit = int(os.environ.get("BENCH_STEPS_PER_UNIT", "20"))
     sampler = os.environ.get("BENCH_SAMPLER", "fast_rbg")

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 SMALL_MEAN_MAX = 8.0
-SMALL_K = 24
+SMALL_K = 20  # kept in sync with epitpu.sim.samplers
 _LANES = 128
 
 
