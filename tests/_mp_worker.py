@@ -53,6 +53,33 @@ def run_workload(mesh):
     )
 
 
+def run_particle_workload(mesh):
+    """Particle-axis sharded filter: the psum-logsumexp weight reduction and
+    the all_gather resampling collectives cross the PROCESS boundary over
+    Gloo when the mesh spans both workers."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.dist import sharded_particle_filter
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y = jnp.asarray(tiny_sir_data())
+    return sharded_particle_filter(
+        mesh,
+        sir_model(),
+        get_observation_model("binomial"),
+        jax.random.PRNGKey(21),
+        y,
+        jnp.array([2.0, 1.0]),
+        0.3,
+        n_particles_total=64,
+        n_population=500.0,
+        mu=20.0,
+        steps_per_unit=2,
+    )
+
+
 def main():
     port, process_id, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 
@@ -80,6 +107,15 @@ def main():
     for s in result.thetas.addressable_shards:
         start = s.index[0].start or 0
         shards[str(start)] = np.asarray(s.data)
+
+    # particle-axis collectives across the process boundary: every process
+    # must agree on the replicated log-likelihood
+    mesh_p = make_mesh(n_chain_shards=1, n_particle_shards=4)
+    fres = run_particle_workload(mesh_p)
+    ll = float(np.asarray(fres.log_likelihood.addressable_shards[0].data))
+    assert np.isfinite(ll), ll
+    shards["particle_ll"] = np.asarray(ll)
+
     np.savez(
         os.path.join(out_dir, f"shards_p{process_id}.npz"),
         **shards,

@@ -65,10 +65,14 @@ def test_two_process_sharded_pmmh_matches_single_process(tmp_path):
     # ---- reassemble the global [4, rows, d] chain array from both
     # processes' addressable shards
     pieces = {}
+    particle_lls = []
     for i in range(2):
         with np.load(tmp_path / f"shards_p{i}.npz") as z:
             for start, data in z.items():
-                pieces[int(start)] = np.asarray(data)
+                if start == "particle_ll":
+                    particle_lls.append(float(data))
+                else:
+                    pieces[int(start)] = np.asarray(data)
     assert sorted(pieces) == [0, 1, 2, 3], sorted(pieces)
     multi = np.concatenate([pieces[i] for i in sorted(pieces)], axis=0)
 
@@ -94,3 +98,16 @@ def test_two_process_sharded_pmmh_matches_single_process(tmp_path):
 
     assert multi.shape == single.shape
     np.testing.assert_allclose(multi, single, rtol=0, atol=0)
+
+    # ---- particle-axis collectives (psum-logsumexp + all_gather) crossed
+    # the process boundary: both processes report the same replicated
+    # log-likelihood, equal to the single-process particle-sharded run
+    from _mp_worker import run_particle_workload
+
+    assert len(particle_lls) == 2
+    assert particle_lls[0] == particle_lls[1]
+    mesh_p = make_mesh(
+        n_chain_shards=1, n_particle_shards=4, devices=jax.devices()[:4]
+    )
+    single_ll = float(np.asarray(run_particle_workload(mesh_p).log_likelihood))
+    np.testing.assert_allclose(particle_lls[0], single_ll, rtol=1e-6)
