@@ -335,3 +335,22 @@ def test_pooled_adaptation_chains(sir_dataset):
     # posterior brackets truth loosely
     assert abs(post[..., 0].mean() - 2.0) < 1.0
     assert abs(post[..., 1].mean() - 1.0) < 0.6
+
+
+def test_posterior_recovery_at_production_schedule(sir_dataset):
+    """The production resample_every=4 schedule must still recover the truth
+    (it is an exactly-valid pseudo-marginal PMMH; this guards the bench's
+    headline configuration statistically)."""
+    y, _ = sir_dataset
+    r = particle_mcmc_jit(
+        sir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(6), y, jnp.array([2.0, 1.0]), 0.05,
+        n_iters=300, obs_param=0.1, n_particles=128, steps_per_unit=20,
+        resample_every=4,
+    )
+    th = np.asarray(r.thetas)[50:]
+    for j, true in enumerate((2.0, 1.0)):
+        lo, hi = np.quantile(th[:, j], [0.025, 0.975])
+        assert lo < true < hi, (j, lo, true, hi)
+        assert abs(th[:, j].mean() - true) < 0.4
+    assert 0.01 < float(r.acceptance_rate()) < 0.9
