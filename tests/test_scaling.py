@@ -20,10 +20,11 @@ def test_weak_scaling_efficiency_chain_axis():
     )
     # The strict assertion is on CPU-seconds per chain — robust to other
     # processes loading the host (wall time is not): at 4 shards the
-    # collectives + shard_map must not add per-chain work.  SCALING.json
-    # (from a quiet scaling_bench.py run) records the wall-clock weak-scaling
-    # efficiency itself: 0.84-0.85 at widths 2-4, 0.80 at 8 on this 2-core
-    # host, lower-bounding the real-pod number.
+    # collectives + shard_map must not add per-chain work.  Wall-clock
+    # efficiency on this 2-core host measures oversubscription once shards
+    # carry real compute (see the SCALING.json round-3 honesty note), so
+    # only a loose wall floor is asserted; this test's shards are tiny
+    # (dispatch-latency dominated), where wall stays comparatively flat.
     per_chain = {r["width"]: r["cpu_per_chain_vs_w1"] for r in out["rows"]}
     assert per_chain[4] <= 1.15, out["rows"]
     # loose wall floor to catch gross regressions even under load
