@@ -28,6 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import epitpu
+
+    epitpu.enable_compilation_cache()
     from epitpu.mcmc import particle_mcmc_chains
     from epitpu.models import sir_model
     from epitpu.observe import get_observation_model

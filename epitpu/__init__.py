@@ -11,13 +11,18 @@ chains, and sharded over device meshes.
 __version__ = "0.1.0"
 
 
-def _enable_compilation_cache():
+def enable_compilation_cache():
     """Point JAX at a persistent on-disk compilation cache.
 
     This container has no cache configured, so EVERY process recompiles the
     full PMMH program (~minutes on the 2-vCPU host, per bench/test/CLI
     invocation).  The cache makes repeat invocations of bench.py, the CLI
-    runner, and the test suite start in seconds.  Opt out with
+    runner, and the test suite start in seconds.
+
+    Called explicitly by epitpu's own entry points (the CLI runner, bench
+    scripts, tests) — NOT at import time, so embedders sharing a process
+    with other JAX users see no global-config side effect from merely
+    importing the package (round-3 advisor finding).  Opt out with
     EPITPU_NO_COMPILATION_CACHE=1; an explicit jax_compilation_cache_dir
     (config or JAX_COMPILATION_CACHE_DIR env) wins.
     """
@@ -40,7 +45,5 @@ def _enable_compilation_cache():
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-
-_enable_compilation_cache()
 
 from . import models, sim, ode, observe, smc, mcmc  # noqa: F401,E402

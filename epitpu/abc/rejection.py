@@ -180,16 +180,23 @@ def abc_rejection(
     key, pending = launch(key)
     while n_accepted < n_samples and trials < max_trials:
         thetas_d, sim_d, dist_d = pending
-        # enqueue the NEXT batch before syncing this one: bookkeeping below
-        # overlaps its device compute (double buffering)
-        key, pending = launch(key)
+        # The distance sync blocks only until THIS batch's program finishes
+        # (K floats; the device is busy computing it, not idle).  Deciding
+        # continuation from it BEFORE enqueuing the next batch means the
+        # final iteration launches nothing — no discarded overshoot batch
+        # (round-3 advisor finding) — while the expensive bookkeeping below
+        # (nonzero + full theta/trajectory fetches) still overlaps the next
+        # batch's device compute whenever the loop does continue.
         mask = np.asarray(dist_d) <= threshold  # the only per-batch sync
         trials += batch_size
-        if mask.any():
+        n_found = int(mask.sum())
+        if n_accepted + n_found < n_samples and trials < max_trials:
+            key, pending = launch(key)  # double buffering
+        if n_found:
             idx = np.nonzero(mask)[0]
             acc_thetas.append(np.asarray(thetas_d)[idx])
             acc_trajs.append(np.asarray(sim_d)[idx])
-            n_accepted += len(idx)
+            n_accepted += n_found
 
     if n_accepted == 0:
         raise RuntimeError(

@@ -448,6 +448,12 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         from ..observe import get_observation_model as _gom
 
         tt = np.asarray(cfg.data.theta_true, dtype=float)
+        if tt.shape[0] < 2:
+            raise SystemExit(
+                "--surface needs a model with at least 2 theta components "
+                f"(got theta_true={tt.tolist()}): the surface is a 2-D grid "
+                "over the first two components"
+            )
         span = cfg.surface_span
         ranges = [
             (max(1e-3, tt[0] - span), tt[0] + span),
@@ -632,6 +638,9 @@ PRESETS = {
 
 
 def main(argv=None):
+    import epitpu
+
+    epitpu.enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
     ap.add_argument("--config", type=str, default=None, help="JSON config path")

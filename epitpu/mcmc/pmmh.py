@@ -276,6 +276,17 @@ def particle_mcmc(
     unconditionally and the host drops non-stride iterations, so many-chain
     runs stream a chains-aggregated line (mean acceptance, theta mean/sd).
     """
+    if pooled_adaptation:
+        # a single chain has nothing to pool over; the chain-batched entry
+        # points translate this flag into pool_axes (round-3 advisor
+        # finding: silently ignoring it here was a no-op trap)
+        raise ValueError(
+            "pooled_adaptation is only meaningful for chain-batched runs: "
+            "use particle_mcmc_chains(..., pooled_adaptation=True) or "
+            "sharded_pmmh(..., pooled_adaptation=True), which translate it "
+            "to pool_axes over their chain axes. For a custom vmap, pass "
+            "pool_axes=(<your chain axis name>,) directly."
+        )
     if adaptive and adapt_start >= n_iters - 1:
         import warnings
 
@@ -457,7 +468,7 @@ _STATIC_NAMES = (
     "n_particles", "steps_per_unit", "resampling", "resample_threshold",
     "resample_every", "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
-    "pool_axes",
+    "pool_axes", "pooled_adaptation",
 )
 
 

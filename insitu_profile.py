@@ -188,6 +188,9 @@ def device_event_durations(trace_dir):
 
 
 def main():
+    import epitpu
+
+    epitpu.enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--chains", type=int, default=16)

@@ -174,6 +174,9 @@ def profile(n_chains, n_particles, steps_per_unit, reps, t_len=15):
 
 
 def main():
+    import epitpu
+
+    epitpu.enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--particles", type=int, default=4096)

@@ -272,13 +272,13 @@ def tpu_chain_sweep(chain_counts=(8, 16, 32, 64, 128), n_iters=48,
 
     def run(n_chains, key):
         # production bench configuration (hardware RNG sampler + the
-        # resample_every=2 schedule, matching bench.py's headline)
+        # resample_every=4 schedule, matching bench.py's headline)
         r = particle_mcmc_chains(
             model, obs, key, y, jnp.array([2.0, 1.0]), 0.05,
             n_chains=n_chains, n_iters=n_iters, obs_param=0.1,
             n_particles=n_particles, n_population=4820, mu=20.0,
             steps_per_unit=steps_per_unit, n_init_attempts=2,
-            sampler="fast_rbg", resample_every=2,
+            sampler="fast_rbg", resample_every=4,
         )
         np.asarray(r.thetas)
 
@@ -370,6 +370,9 @@ def abc_backend_comparison(batch_size=4096, n_samples=2000, threshold=150.0,
 
 
 def main(argv=None):
+    import epitpu
+
+    epitpu.enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tpu", action="store_true",
                     help="run the on-chip chain sweep instead (default env)")

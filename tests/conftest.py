@@ -54,6 +54,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pytest
 
+import epitpu
+
+# cache setup is explicit (not an import side effect) since round 4; the
+# test suite is one of the entry points that wants it
+epitpu.enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def sir_dataset():

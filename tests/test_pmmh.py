@@ -337,6 +337,22 @@ def test_pooled_adaptation_chains(sir_dataset):
     assert abs(post[..., 1].mean() - 1.0) < 0.6
 
 
+def test_pooled_adaptation_rejected_on_single_chain(sir_dataset):
+    """particle_mcmc has no chain axis to pool over, so passing
+    pooled_adaptation=True directly must raise a clear error instead of
+    silently no-opping (round-3 advisor finding)."""
+    from epitpu.mcmc import particle_mcmc
+
+    y, _ = sir_dataset
+    with pytest.raises(ValueError, match="pooled_adaptation"):
+        particle_mcmc(
+            sir_model(), get_observation_model("binomial"),
+            jax.random.PRNGKey(0), y, jnp.array([2.0, 1.0]), 0.2,
+            n_iters=10, n_particles=16, steps_per_unit=2,
+            pooled_adaptation=True,
+        )
+
+
 def test_posterior_recovery_at_production_schedule(sir_dataset):
     """The production resample_every=4 schedule must still recover the truth
     (it is an exactly-valid pseudo-marginal PMMH; this guards the bench's

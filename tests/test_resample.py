@@ -84,10 +84,11 @@ def test_batched_resampling():
 
 
 def test_scatter_systematic_matches_compare_reduce():
-    """The O(N) counts+scatter systematic resampler (the production default
-    since round 3) computes the SAME ancestor assignment as the O(N^2)
-    compare-reduce given the same key, away from measure-zero CDF boundary
-    ties."""
+    """The O(N) counts+scatter systematic resampler (opt-in: it benchmarked
+    slower than the compare-reduce at production N on the v5e VPU, see
+    epitpu/smc/resample.py) computes the SAME ancestor assignment as the
+    O(N^2) compare-reduce given the same key, away from measure-zero CDF
+    boundary ties."""
     from epitpu.smc import systematic_resample_scatter
 
     for seed in range(8):
