@@ -134,9 +134,20 @@ def sharded_pmmh(
     """Run ``n_chains_total`` independent PMMH chains sharded over the
     ``chain`` mesh axis, ``vmap``-ped within each device.
 
-    Result arrays have a leading global chains axis (sharded).  With
-    ``pooled_adaptation`` the adaptive proposal covariance pools Welford
-    statistics across ALL chains via collectives each iteration.
+    When the mesh has a particle axis with more than one shard, each chain's
+    ``n_particles`` (the GLOBAL per-chain particle count, from ``kwargs``)
+    is split across it and the filter INSIDE the PMMH step runs its weight
+    normalization / resampling with psum + all_gather collectives over that
+    axis (``epitpu.smc.filter`` ``axis_name``); the ancestral path sampler
+    consumes the all-gathered history (``epitpu.mcmc.pmmh
+    ._filter_ll_and_path``).  This is what makes a (chain x particle) mesh
+    real for PMMH — the TPU-native scale-out of the reference's per-particle
+    joblib pool (reference pmcmc.py:200-220) along BOTH axes at once.
+
+    Result arrays have a leading global chains axis (sharded; replicated
+    along the particle axis).  With ``pooled_adaptation`` the adaptive
+    proposal covariance pools Welford statistics across ALL chains via
+    collectives each iteration.
     """
     n_shards = mesh.shape[CHAIN_AXIS]
     if n_chains_total % n_shards:
@@ -147,8 +158,22 @@ def sharded_pmmh(
     n_local = n_chains_total // n_shards
     pool_axes = ("chain_vmap", CHAIN_AXIS) if pooled_adaptation else ()
 
+    p_shards = mesh.shape.get(PARTICLE_AXIS, 1)
+    if p_shards > 1:
+        n_particles_total = kwargs.pop("n_particles", 1000)
+        if n_particles_total % p_shards:
+            raise ValueError(
+                f"n_particles={n_particles_total} not divisible by "
+                f"{p_shards} particle shards"
+            )
+        kwargs["n_particles"] = n_particles_total // p_shards
+        kwargs["filter_axis_name"] = PARTICLE_AXIS
+
     def body(keys):
-        # keys: [n_local, 2] local slice of per-chain keys
+        # keys: [n_local, 2] local slice of per-chain keys (replicated
+        # along the particle axis: every particle shard of a chain sees the
+        # same chain key, so proposals/accepts are replicated and only the
+        # filter's particle cloud is sharded)
         run = lambda k: particle_mcmc(
             model,
             obs_loglik,

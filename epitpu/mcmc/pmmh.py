@@ -103,6 +103,7 @@ def _filter_ll_and_path(
     sampler,
     resample_threshold,
     resample_every,
+    filter_axis_name=None,
 ):
     k_pf, k_path = jax.random.split(key)
     res = particle_filter(
@@ -120,13 +121,33 @@ def _filter_ll_and_path(
         sampler=sampler,
         resample_threshold=resample_threshold,
         resample_every=resample_every,
+        axis_name=filter_axis_name,
     )
     # under conditional resampling the terminal particles carry residual
     # weights; the path's terminal draw must respect them (see sample_path)
     carried = resample_threshold < 1.0 or resample_every > 1
-    terminal = res.final_logw if carried else None
+    if filter_axis_name is None:
+        hidden, ancestry = res.hidden, res.ancestry
+        terminal = res.final_logw if carried else None
+    else:
+        # particle axis sharded (sharded_pmmh on a (chain x particle) mesh):
+        # ancestry is recorded in GLOBAL particle ids, so all_gather the
+        # (small: T*N*C floats) history and weights — every shard then draws
+        # the IDENTICAL path because k_path derives from the chain key,
+        # which is replicated across the particle axis.
+        hidden = jax.lax.all_gather(
+            res.hidden, filter_axis_name, axis=1, tiled=True
+        )
+        ancestry = jax.lax.all_gather(
+            res.ancestry, filter_axis_name, axis=1, tiled=True
+        )
+        terminal = (
+            jax.lax.all_gather(res.final_logw, filter_axis_name, tiled=True)
+            if carried
+            else None
+        )
     with jax.named_scope("path_sample"):
-        traj = sample_path(k_path, res.hidden, res.ancestry, terminal)
+        traj = sample_path(k_path, hidden, ancestry, terminal)
     return res.log_likelihood, traj
 
 
@@ -247,6 +268,7 @@ def particle_mcmc(
     log_every: int = 0,
     telemetry_fn=None,
     pooled_adaptation: bool = False,
+    filter_axis_name: Optional[str] = None,
 ) -> PMMHResult:
     """Run one PMMH chain.  Mirrors ``particle_mcmc`` (reference
     pmcmc.py:251-408) with ``obs_param``/``infer_obs_param`` replacing the
@@ -275,6 +297,13 @@ def particle_mcmc(
     (pmcmc.py:320-321, 405-406).  Vmap-safe: the callback fires
     unconditionally and the host drops non-stride iterations, so many-chain
     runs stream a chains-aggregated line (mean acceptance, theta mean/sd).
+
+    ``filter_axis_name`` (inside ``shard_map`` only, normally via
+    ``epitpu.dist.sharded_pmmh``) shards the filter's particle axis over
+    that mesh axis: ``n_particles`` is then the LOCAL per-shard count, the
+    filter normalizes weights with psum collectives, and the path sampler
+    consumes the all-gathered history.  The chain key must be replicated
+    along that axis so proposals/accepts agree across particle shards.
     """
     if pooled_adaptation:
         # a single chain has nothing to pool over; the chain-batched entry
@@ -316,6 +345,7 @@ def particle_mcmc(
         sampler=sampler,
         resample_threshold=resample_threshold,
         resample_every=resample_every,
+        filter_axis_name=filter_axis_name,
     )
 
     def propose(k, center, cov):
@@ -468,7 +498,7 @@ _STATIC_NAMES = (
     "n_particles", "steps_per_unit", "resampling", "resample_threshold",
     "resample_every", "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
-    "pool_axes", "pooled_adaptation",
+    "pool_axes", "pooled_adaptation", "filter_axis_name",
 )
 
 

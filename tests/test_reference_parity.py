@@ -395,6 +395,260 @@ def test_end_to_end_posterior_matches_reference_pmcmc(tiny_dataset):
     _posterior_close(np.asarray(ref_thetas), our_thetas, burn=40, floor=0.25)
 
 
+@pytest.fixture(scope="module")
+def subgroup_dataset():
+    """Small 2-group dataset so the reference's dict-based per-event subgroup
+    SSA (gillespie_algo.py:148-233) stays tractable: pops (200,10,0) and
+    (300,15,0), betas [[5,2],[1,3]], gamma=0.5, T=6, binomial p=0.3 on every
+    per-group compartment."""
+    from epitpu.ode import sir_subgroups_simulate_discrete
+
+    betas = np.array([[5.0, 2.0], [1.0, 3.0]])
+    gamma = 0.5
+    y0 = np.array([[200.0, 10.0, 0.0], [300.0, 15.0, 0.0]])
+    t = np.linspace(0, 6, 80)
+    df = sir_subgroups_simulate_discrete(y0, t, betas, gamma)
+    latent = df.to_numpy()[:, 1:]  # drop the day column -> [T, 6]
+    rng = np.random.default_rng(19)
+    y = rng.binomial(np.round(latent).astype(int), 0.3).astype(np.float32)
+    return y, betas, gamma
+
+
+def _our_subgroup_loglik(y_np, betas, gamma, n_particles, reps,
+                         aggregated, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.models import sir_subgroups_model
+    from epitpu.observe import get_observation_model
+    from epitpu.smc import particle_filter_jit
+
+    model = sir_subgroups_model(k=2, aggregated_obs=aggregated)
+    obs = get_observation_model("binomial")
+    theta = jnp.asarray(
+        list(np.asarray(betas).reshape(-1)) + [gamma], jnp.float32
+    )
+    out = []
+    for r in range(reps):
+        res = particle_filter_jit(
+            model, obs, jax.random.PRNGKey(seed + r), jnp.asarray(y_np),
+            theta, 0.3, n_particles,
+            jnp.array([210.0, 315.0]), jnp.array([10.0, 15.0]), 20,
+            "multinomial",
+        )
+        out.append(float(res.log_likelihood))
+    return np.array(out)
+
+
+def _ref_subgroup_loglik(y_np, betas, gamma, n_particles, reps,
+                         model_type, seed=0):
+    import pmcmc as ref
+
+    np.random.seed(seed)
+    out = []
+    for _ in range(reps):
+        zetas, _, _ = ref.particle_filter(
+            y_np, model_type, (np.asarray(betas), gamma),
+            observations=False, probs=0.3, n_particles=n_particles,
+            n_population=[210, 315], mu=[10, 15], jobs=1,
+        )
+        if zetas is not None and zetas[-1] > 0:
+            out.append(np.log(zetas[-1]))
+    return np.array(out)
+
+
+def test_subgroup_filter_loglik_agrees_with_reference(subgroup_dataset):
+    """Subgroup PF log-likelihood parity, PER-GROUP observations (reference
+    ModelType.SIR_SUBGROUPS, pmcmc.py:163-170): min-over-all-6-columns
+    weights + per-group Poisson(mu_i) init — the exact place a quiet
+    mismatch would hide from the SSA-law tests (round-3 VERDICT missing #2).
+    """
+    import pmcmc as ref
+
+    y, betas, gamma = subgroup_dataset
+    ref_ll = _ref_subgroup_loglik(
+        y, betas, gamma, 80, 8, ref.ModelType.SIR_SUBGROUPS, seed=29
+    )
+    our_ll = _our_subgroup_loglik(
+        y, betas, gamma, 80, 8, aggregated=False, seed=29
+    )
+    assert len(ref_ll) >= 6, "reference subgroup filter degenerated"
+    assert np.isfinite(our_ll).all()
+    se = np.sqrt(ref_ll.var() / len(ref_ll) + our_ll.var() / len(our_ll))
+    diff = abs(ref_ll.mean() - our_ll.mean())
+    assert diff < max(4.0 * se, 2.0), (
+        f"ref {ref_ll.mean():.2f}±{ref_ll.std():.2f} vs "
+        f"ours {our_ll.mean():.2f}±{our_ll.std():.2f}"
+    )
+
+
+def test_aggregated_subgroup_filter_loglik_agrees_with_reference(
+    subgroup_dataset,
+):
+    """Subgroup PF log-likelihood parity, AGGREGATED observations (reference
+    ModelType.SIR_SUBGROUPS2, pmcmc.py:172-175, 228-231): the latent state
+    stays per-group but the weights compare against the SUM over groups —
+    3 observed columns, per-group Poisson init."""
+    import pmcmc as ref
+
+    y6, betas, gamma = subgroup_dataset
+    # the reference drivers aggregate the thinned per-group data
+    # (tests/test_particles_subroups2.py:42-45): data3 = data2[:,:3]+data2[:,3:]
+    y3 = (y6[:, :3] + y6[:, 3:]).astype(np.float32)
+    ref_ll = _ref_subgroup_loglik(
+        y3, betas, gamma, 80, 8, ref.ModelType.SIR_SUBGROUPS2, seed=31
+    )
+    our_ll = _our_subgroup_loglik(
+        y3, betas, gamma, 80, 8, aggregated=True, seed=31
+    )
+    assert len(ref_ll) >= 6, "reference aggregated filter degenerated"
+    assert np.isfinite(our_ll).all()
+    se = np.sqrt(ref_ll.var() / len(ref_ll) + our_ll.var() / len(our_ll))
+    diff = abs(ref_ll.mean() - our_ll.mean())
+    assert diff < max(4.0 * se, 2.0), (
+        f"ref {ref_ll.mean():.2f}±{ref_ll.std():.2f} vs "
+        f"ours {our_ll.mean():.2f}±{our_ll.std():.2f}"
+    )
+
+
+def test_gaussian_posterior_matches_reference_pmcmc(tiny_dataset):
+    """End-to-end posterior parity for the GAUSSIAN-noise observation path
+    (reference observations=True, pmcmc.py:181; flagship driver
+    tests/test_pmcmc_noisy.py:42-55) — round-3 VERDICT missing #3a: the
+    noisy path previously stopped at PF log-lik parity."""
+    import pmcmc as ref
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import sir_simulate_discrete
+
+    noise = 0.15
+    t = np.linspace(0, 8, 80)
+    df = sir_simulate_discrete((190.0, 10.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(37)
+    y = rng.normal(latent, noise * latent + 1e-4).astype(np.float32)
+
+    n_iters, n_part = 220, 40
+    np.random.seed(47)
+    ref_thetas, _, _ = ref.particle_mcmc(
+        y, ref.ModelType.SIR, [2.0, 1.0], 0.08,
+        adaptive=False, sigma=np.eye(2), n_chains=n_iters,
+        observations=True, probs=noise, n_particles=n_part,
+        n_population=200, mu=10, jobs=1,
+    )
+
+    r = particle_mcmc_chains(
+        sir_model(), get_observation_model("gaussian"),
+        jax.random.PRNGKey(9), jnp.asarray(y), jnp.array([2.0, 1.0]),
+        0.08, n_chains=2, n_iters=n_iters, obs_param=noise,
+        n_particles=n_part, n_population=200.0, mu=10.0,
+        steps_per_unit=20, n_init_attempts=4,
+    )
+    our_thetas = np.asarray(r.thetas).reshape(-1, 2)
+    _posterior_close(np.asarray(ref_thetas), our_thetas, burn=40, floor=0.25)
+
+
+def test_seir_posterior_matches_reference_pmcmc():
+    """End-to-end posterior parity for SEIR PMCMC (reference flagship driver
+    tests/test_pmcmc_seir.py:32-45) — round-3 VERDICT missing #3b: SEIR
+    previously stopped at SSA-law parity.  Tiny population keeps the
+    reference's per-event Python SSA tractable."""
+    import pmcmc as ref
+
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import seir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import seir_simulate_discrete
+
+    t = np.linspace(0, 8, 80)
+    df = seir_simulate_discrete((190.0, 0.0, 10.0, 0.0), t, 2.0, 1.0, 1.0)
+    latent = df[
+        ["susceptible", "exposed", "infected", "removed"]
+    ].to_numpy()
+    rng = np.random.default_rng(41)
+    y = rng.binomial(np.round(latent).astype(int), 0.3).astype(np.float32)
+
+    n_iters, n_part = 180, 30
+    np.random.seed(53)
+    ref_thetas, _, _ = ref.particle_mcmc(
+        y, ref.ModelType.SEIR, [2.0, 1.0, 1.0], 0.08,
+        adaptive=False, sigma=np.eye(3), n_chains=n_iters,
+        observations=False, probs=0.3, n_particles=n_part,
+        n_population=200, mu=10, jobs=1,
+    )
+
+    r = particle_mcmc_chains(
+        seir_model(), get_observation_model("binomial"),
+        jax.random.PRNGKey(13), jnp.asarray(y),
+        jnp.array([2.0, 1.0, 1.0]), 0.08, n_chains=2, n_iters=n_iters,
+        obs_param=0.3, n_particles=n_part, n_population=200.0, mu=10.0,
+        steps_per_unit=20, n_init_attempts=4,
+    )
+    our_thetas = np.asarray(r.thetas).reshape(-1, 3)
+    _posterior_close(np.asarray(ref_thetas), our_thetas, burn=40, floor=0.3)
+
+
+def test_abc_posterior_matches_reference():
+    """ABC accepted-posterior parity at a MATCHED threshold (round-3 VERDICT
+    missing #4): run the reference's abc_algo (reference abc_algo.py:17-109,
+    exact SSA + event-grid forward-fill alignment) and epitpu's batched
+    tau-leap rejection on the SAME observed data, same priors, same
+    threshold, and compare the accepted (beta, gamma) distributions."""
+    import abc_algo as ref_abc
+
+    import jax
+
+    from epitpu.abc import abc_rejection
+    from epitpu.models import sir_model
+
+    # ABC in the reference is run on the RAW trajectory
+    # (tests/simulated_data.py:39-52), not the thinned dataset — regenerate
+    # the latent-scale ODE counts at the tiny_dataset scale
+    from epitpu.ode import sir_simulate_discrete
+
+    t = np.linspace(0, 8, 80)
+    df = sir_simulate_discrete((190.0, 10.0, 0.0), t, 2.0, 1.0)
+    observed = df[["susceptible", "infected", "removed"]].to_numpy()
+
+    threshold, n_samples = 12.0, 50
+    np.random.seed(59)
+    ref_post, _ = ref_abc.abc_algo(
+        observed, n_samples, threshold,
+        {"beta": [0.0, 4.0], "gamma": [0.0, 4.0]},
+    )
+    ref_beta = np.asarray(ref_post["beta"])
+    ref_gamma = np.asarray(ref_post["gamma"])
+
+    res = abc_rejection(
+        sir_model(), jax.random.PRNGKey(61), observed, n_samples,
+        threshold, {"beta": (0.0, 4.0), "gamma": (0.0, 4.0)},
+        batch_size=256, steps_per_unit=20,
+    )
+    our_beta = res.posterior["beta"]
+    our_gamma = res.posterior["gamma"]
+
+    for name, a, b in (
+        ("beta", ref_beta, our_beta),
+        ("gamma", ref_gamma, our_gamma),
+    ):
+        se = np.sqrt(a.var() / len(a) + b.var() / len(b))
+        diff = abs(a.mean() - b.mean())
+        assert diff < 4.0 * se + 0.25, (
+            f"{name}: ref {a.mean():.3f}±{a.std():.3f} vs "
+            f"ours {b.mean():.3f}±{b.std():.3f}"
+        )
+        # accepted-sample spread agrees too (posterior shape, not just mean)
+        assert abs(a.std() - b.std()) < max(0.5 * a.std(), 0.2), name
+
+
 def test_inferred_p_posterior_matches_reference_pmcmc(tiny_dataset):
     """The inferred-reporting-probability path (reference probs=None,
     pmcmc.py:283-287/339-343; driver tests/test_pmcmc_p.py:48-61) compared
