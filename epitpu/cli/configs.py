@@ -119,6 +119,10 @@ class ExperimentConfig:
     # tests/testing_sbgrps.py:35-49)
     surface_points: int = 0
     surface_span: float = 1.5
+    # run ONE particle filter at the posterior-mean theta and plot the
+    # particle clouds + ancestry lines (the reference's filter
+    # visualization, tests/test_particles.py:78-95)
+    plot_particles: bool = False
 
     def to_json(self):
         return json.dumps(dataclasses.asdict(self), indent=2)

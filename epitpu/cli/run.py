@@ -493,6 +493,28 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
                 grid2, lls, gdir, names=names[:2], truth=tt[:2].tolist()
             )
 
+    if cfg.plot_particles:
+        # one PF run's particle clouds + ancestry lines at the posterior-mean
+        # theta (the reference's filter visualization,
+        # tests/test_particles.py:78-95)
+        from ..smc import particle_filter_jit
+        from ..viz import particle_cloud_plot
+
+        burn = max(1, m.n_iters // 5)
+        theta_mean = np.asarray(result.thetas)[:, burn:, :].mean((0, 1))
+        if m.infer_obs_param:
+            viz_theta, viz_obs_param = theta_mean[:-1], float(theta_mean[-1])
+        else:
+            viz_theta, viz_obs_param = theta_mean, cfg.data.obs_param
+        pf = particle_filter_jit(
+            model, obs, jax.random.PRNGKey(cfg.seed + 3), jnp.asarray(y),
+            jnp.asarray(viz_theta, jnp.float32), viz_obs_param,
+            min(m.n_particles, 256), n_population, mu, m.steps_per_unit,
+        )
+        gdir = os.path.join(cfg.graphs_dir, cfg.name, "run1")
+        path = particle_cloud_plot(pf.hidden, pf.ancestry, gdir)
+        report["particle_plot"] = path
+
     if cfg.make_plots:
         from ..viz import multi_chain_traces, plot_pmmh_suite
 
@@ -669,6 +691,11 @@ def main(argv=None):
         "standard SMC choice, lower-variance likelihood estimate)",
     )
     ap.add_argument(
+        "--plot-particles", action="store_true",
+        help="run one particle filter at the posterior-mean theta and plot "
+        "particle clouds + ancestry lines (reference filter visualization)",
+    )
+    ap.add_argument(
         "--forecast", type=int, default=None, metavar="HORIZON",
         help="posterior-predictive forecast this many time units past the "
         "data (reference pred_tmps.py)",
@@ -747,6 +774,8 @@ def _apply_overrides(cfg, args):
         cfg.mcmc.resample_every = args.resample_every
     if args.surface is not None:
         cfg.surface_points = args.surface
+    if args.plot_particles:
+        cfg.plot_particles = True
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:
