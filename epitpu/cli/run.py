@@ -554,7 +554,9 @@ def run_sweep(sweep_name, cfgs, verbose=True):
     cfgs = list(cfgs)
     levels = []
     for cfg in cfgs:
+        t_level = time.perf_counter()
         result, report = run_experiment(cfg, verbose=verbose)
+        wall_s = time.perf_counter() - t_level
         burn = max(1, cfg.mcmc.n_iters // 10)
         post = pool_chains(np.asarray(result.thetas), burn_in=burn)
         true = list(cfg.data.theta_true)
@@ -570,7 +572,10 @@ def run_sweep(sweep_name, cfgs, verbose=True):
             "pmse_mean": float(np.mean(pmse)),
             "acceptance": report["acceptance"],
             "ess": report.get("ess"),
+            "gelman_rubin": report.get("gelman_rubin"),
             "summary": report["summary"],
+            "wall_s": wall_s,
+            "iters_per_s": cfg.mcmc.n_iters * cfg.mcmc.n_chains / wall_s,
         })
 
     out_root = os.path.join(cfgs[0].out_dir, sweep_name)

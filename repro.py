@@ -1,0 +1,233 @@
+"""Production-scale reproduction of the reference's full experiment study.
+
+The reference's flagship workloads are 6,000-iteration adaptive PMCMC runs at
+100 particles, one script per grid point, ~8+ hours of CPU per run
+(reference tests/experiments/noise/noise_.1.py:29-43 ``n_chains=6000,
+n_particles=100, jobs=-1``; pobs: prob_.01.py:34-48; tmps: tmp_7.py:29-44;
+implied throughput BASELINE.md).  The grids:
+
+  * noise: Gaussian observation noise in {.05,.1,.15,.2,.25,.3}  (6 levels)
+  * pobs:  binomial reporting prob in {.005,.01,.025,.05,.075}   (5 levels)
+  * tmps:  truncated series T in {11,7,3}                        (3 levels)
+
+plus the SEIR flagship (tests/test_pmcmc_seir.py:32-45, 1,000 iters) and the
+inferred-reporting-probability flagship (tests/test_pmcmc_p.py:48-61, 5,000
+iters).  Per level the reference aggregates posterior MSE against the truth
+(tests/test_noise.py:113-116, test_under.py:118-122) and 3-run R-hat/ESS.
+
+This script runs the COMPLETE study — all 14 grid levels at the full 6,000
+iterations x 3 chains x 100 particles, plus both flagships — through the
+same ``run_sweep`` / ``run_experiment`` entry points as
+``python -m epitpu.cli.run --sweep ...``, on one TPU chip, with segmented
+checkpointing on, and writes:
+
+  * ``repro.json``  — machine-readable per-level posterior summaries, PMSE,
+    R-hat, ESS, acceptance, wall-clock;
+  * ``REPRO.md``    — the human-readable study report.
+
+Usage:  python repro.py            (full study, TPU, ~minutes)
+        REPRO_SMOKE=1 python repro.py   (tiny CPU smoke of the whole flow)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SMOKE = bool(os.environ.get("REPRO_SMOKE"))
+OUT_DIR = os.environ.get("REPRO_OUT", "data/repro")
+SWEEP_ITERS = 60 if SMOKE else 6000
+SEIR_ITERS = 60 if SMOKE else 1000
+INFERP_ITERS = 60 if SMOKE else 5000
+CHAINS = 3
+PARTICLES = 16 if SMOKE else 100
+CHECKPOINT_EVERY = 0 if SMOKE else 1500
+
+
+def _configure(cfg):
+    cfg.mcmc.n_iters = (
+        SEIR_ITERS if cfg.model == "seir"
+        else INFERP_ITERS if cfg.mcmc.infer_obs_param
+        else SWEEP_ITERS
+    )
+    cfg.mcmc.n_chains = CHAINS
+    cfg.mcmc.n_particles = PARTICLES
+    cfg.mcmc.adaptive = True  # every reference experiment driver adapts
+    cfg.checkpoint_every = CHECKPOINT_EVERY
+    cfg.make_plots = False
+    cfg.out_dir = OUT_DIR
+    if SMOKE:
+        cfg.mcmc.steps_per_unit = 5
+    return cfg
+
+
+def main():
+    import epitpu
+
+    epitpu.enable_compilation_cache()
+    import jax
+
+    from epitpu.cli.configs import ExperimentConfig  # noqa: F401
+    from epitpu.cli.run import PRESETS, SWEEPS, run_experiment, run_sweep
+    from epitpu.diag import pool_chains, posterior_mse
+
+    device = str(jax.devices()[0])
+    stages = []
+    t_study = time.perf_counter()
+
+    for sweep_name in ("noise", "pobs", "tmps"):
+        cfgs = [_configure(c) for c in SWEEPS[sweep_name]()]
+        t0 = time.perf_counter()
+        summary = run_sweep(sweep_name, cfgs, verbose=False)
+        wall = time.perf_counter() - t0
+        stages.append({
+            "stage": sweep_name,
+            "kind": "sweep",
+            "n_levels": len(summary["levels"]),
+            "iters": SWEEP_ITERS,
+            "chains": CHAINS,
+            "particles": PARTICLES,
+            "wall_s": wall,
+            "levels": summary["levels"],
+        })
+        print(f"[repro] sweep {sweep_name}: {len(summary['levels'])} levels "
+              f"in {wall:.1f}s", flush=True)
+
+    for preset in ("seir_underreported", "sir_infer_p"):
+        cfg = _configure(PRESETS[preset]())
+        cfg.name = f"repro_{preset}"
+        t0 = time.perf_counter()
+        result, report = run_experiment(cfg, verbose=False)
+        wall = time.perf_counter() - t0
+        burn = max(1, cfg.mcmc.n_iters // 10)
+        post = pool_chains(np.asarray(result.thetas), burn_in=burn)
+        true = list(cfg.data.theta_true)
+        if cfg.mcmc.infer_obs_param:
+            true = true + [cfg.data.obs_param]
+        pmse = [posterior_mse(t, post[:, j]) for j, t in enumerate(true)]
+        stages.append({
+            "stage": preset,
+            "kind": "flagship",
+            "iters": cfg.mcmc.n_iters,
+            "chains": CHAINS,
+            "particles": PARTICLES,
+            "wall_s": wall,
+            "theta_true": true,
+            "pmse": pmse,
+            "pmse_mean": float(np.mean(pmse)),
+            "acceptance": report["acceptance"],
+            "ess": report.get("ess"),
+            "gelman_rubin": report.get("gelman_rubin"),
+            "summary": report["summary"],
+        })
+        print(f"[repro] flagship {preset}: {wall:.1f}s", flush=True)
+
+    total_wall = time.perf_counter() - t_study
+    total_iters = sum(
+        s["iters"] * s["chains"] * s.get("n_levels", 1) for s in stages
+    )
+    out = {
+        "smoke": SMOKE,
+        "device": device,
+        "total_wall_s": total_wall,
+        "total_chain_iterations": total_iters,
+        "aggregate_iters_per_s": total_iters / total_wall,
+        "reference_scale_note": (
+            "reference: ~8+ hours PER 6000-iteration run on CPU "
+            "(BASELINE.md, derived from ~5 s per 100-particle PF call); "
+            "14 grid levels + 2 flagships would be ~5 CPU-days sequential"
+        ),
+        "stages": stages,
+    }
+    tag = "repro_smoke.json" if SMOKE else "repro.json"
+    with open(tag, "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    if not SMOKE:
+        write_report(out)
+    print(f"[repro] study complete: {total_wall/60:.1f} min total "
+          f"({total_iters} chain-iterations, "
+          f"{total_iters/total_wall:.0f} iters/s aggregate)", flush=True)
+
+
+def _acc(a):
+    """Mean acceptance: the report carries one rate per chain."""
+    return float(np.mean(a))
+
+
+def _fmt_summary(summary, names=None):
+    parts = []
+    for name, st in summary.items():
+        parts.append(
+            f"{name}={st['mean']:.3f} [{st['hdi_lo']:.3f},{st['hdi_hi']:.3f}]"
+        )
+    return " ".join(parts)
+
+
+def write_report(out):
+    lines = [
+        "# REPRO — the reference's full experiment study at production scale",
+        "",
+        f"Generated by `python repro.py` on `{out['device']}` "
+        f"(one TPU chip).  Machine-readable copy: `repro.json`.",
+        "",
+        "Every grid level runs the reference's production configuration — "
+        "**6,000 adaptive PMCMC iterations, 100 particles, 3 chains** "
+        "(reference tests/experiments/noise/noise_.1.py:29-43 and siblings; "
+        "the reference runs ONE chain per script invocation at ~8+ hours "
+        "each, BASELINE.md) — with segmented checkpointing every "
+        "1,500 iterations.  Flagships: SEIR at 1,000 iterations "
+        "(test_pmcmc_seir.py:32-45) and inferred-p at 5,000 "
+        "(test_pmcmc_p.py:48-61).  PMSE per level follows "
+        "test_noise.py:113-116 / test_under.py:118-122 semantics.",
+        "",
+        f"**Total study wall-clock: {out['total_wall_s']/60:.1f} minutes** "
+        f"for {out['total_chain_iterations']:,} chain-iterations "
+        f"({out['aggregate_iters_per_s']:.0f} iters/s aggregate) vs the "
+        "reference's ~5 CPU-days for the same grid run sequentially.",
+        "",
+    ]
+    for s in out["stages"]:
+        if s["kind"] == "sweep":
+            lines += [
+                f"## Sweep `{s['stage']}` — {s['n_levels']} levels, "
+                f"{s['iters']:,} iters x {s['chains']} chains x "
+                f"{s['particles']} particles each, {s['wall_s']:.1f} s total",
+                "",
+                "| level | posterior (mean [95% HDI]) | PMSE (mean) | "
+                "max R-hat | min ESS | accept | wall (s) |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for lv in s["levels"]:
+                rhat = max(lv["gelman_rubin"]) if lv.get("gelman_rubin") else float("nan")
+                essv = min(lv["ess"]) if lv.get("ess") else float("nan")
+                lines.append(
+                    f"| {lv['level']} | {_fmt_summary(lv['summary'])} | "
+                    f"{lv['pmse_mean']:.4f} | {rhat:.3f} | {essv:.0f} | "
+                    f"{_acc(lv['acceptance']):.3f} | {lv['wall_s']:.1f} |"
+                )
+            lines.append("")
+        else:
+            rhat = max(s["gelman_rubin"]) if s.get("gelman_rubin") else float("nan")
+            essv = min(s["ess"]) if s.get("ess") else float("nan")
+            lines += [
+                f"## Flagship `{s['stage']}` — {s['iters']:,} iters x "
+                f"{s['chains']} chains x {s['particles']} particles, "
+                f"{s['wall_s']:.1f} s",
+                "",
+                f"- truth: {s['theta_true']}",
+                f"- posterior: {_fmt_summary(s['summary'])}",
+                f"- PMSE mean: {s['pmse_mean']:.4f}; acceptance "
+                f"{_acc(s['acceptance']):.3f}; max R-hat {rhat:.3f}; "
+                f"min ESS {essv:.0f}",
+                "",
+            ]
+    with open("REPRO.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
