@@ -376,7 +376,8 @@ def particle_mcmc(
             valid = nonneg & jnp.isfinite(ll)
             return stored, jnp.where(valid, ll, -jnp.inf), traj, valid
 
-        thetas0, lls0, trajs0, valids0 = jax.vmap(init_attempt)(init_keys)
+        with jax.named_scope("pmmh_init"):
+            thetas0, lls0, trajs0, valids0 = jax.vmap(init_attempt)(init_keys)
         first = jnp.argmax(valids0)  # first True (0 if none valid)
         theta_init = thetas0[first]
         ll_init = lls0[first]
@@ -464,9 +465,13 @@ def particle_mcmc(
 
     scan_keys = jax.lax.dynamic_slice_in_dim(keys_all, key_start, n_scan)
     carry0 = (theta_init, ll_init, traj_init, w0, accepts0, step0 + 1)
-    (theta_f, ll_f, traj_f, w_f, accepts, i_f), (thetas, lls, trajs) = (
-        jax.lax.scan(step, carry0, scan_keys)
-    )
+    # pmmh_scan catches the chain scan's own bookkeeping (stacking of the
+    # (theta, ll, traj) outputs per iteration) in profile attribution;
+    # body ops keep their finer mh_*/pf_* scopes
+    with jax.named_scope("pmmh_scan"):
+        (theta_f, ll_f, traj_f, w_f, accepts, i_f), (thetas, lls, trajs) = (
+            jax.lax.scan(step, carry0, scan_keys)
+        )
 
     if init_state is None:
         thetas = jnp.concatenate([theta_init[None], thetas], axis=0)

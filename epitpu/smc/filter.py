@@ -137,9 +137,10 @@ def particle_filter(
         key_init = jax.random.fold_in(key_init, shard_index)
     log_n = jnp.log(jnp.asarray(n_total, jnp.float32))
 
-    if x0 is None:
-        x0 = model.init_fn(key_init, n_particles, n_population, mu)
-    x0 = x0.astype(jnp.float32)
+    with jax.named_scope("pf_init"):
+        if x0 is None:
+            x0 = model.init_fn(key_init, n_particles, n_population, mu)
+        x0 = x0.astype(jnp.float32)
 
     def _global_lse(logw):
         if axis_name is None:
@@ -199,9 +200,12 @@ def particle_filter(
         if not carry_weights:
             # always-resample (reference semantics); bit-identical to the
             # pre-threshold implementation
-            step_lse = _global_lse(logw)
-            step_degen = ~jnp.isfinite(step_lse)
-            log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse - log_n)
+            with jax.named_scope("pf_loglik"):
+                step_lse = _global_lse(logw)
+                step_degen = ~jnp.isfinite(step_lse)
+                log_z = jnp.where(
+                    step_degen, -jnp.inf, log_z + step_lse - log_n
+                )
             with jax.named_scope("pf_resample"):
                 anc, x_res = _do_resample(k_res, logw, x)
             lw_next = lw  # stays uniform
@@ -209,11 +213,12 @@ def particle_filter(
             # carry normalized log-weights; increment is logsumexp of the
             # weighted mixture (reduces to logsumexp(logw) - log N whenever
             # the previous step resampled)
-            s = lw + logw
-            step_lse = _global_lse(s)
-            step_degen = ~jnp.isfinite(step_lse)
-            log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse)
-            lw_new = jnp.where(step_degen, -log_n, s - step_lse)
+            with jax.named_scope("pf_loglik"):
+                s = lw + logw
+                step_lse = _global_lse(s)
+                step_degen = ~jnp.isfinite(step_lse)
+                log_z = jnp.where(step_degen, -jnp.inf, log_z + step_lse)
+                lw_new = jnp.where(step_degen, -log_n, s - step_lse)
             opr = (k_res, lw_new, x, step_degen)
             with jax.named_scope("pf_resample"):
                 if scheduled_mode:
@@ -238,9 +243,13 @@ def particle_filter(
     schedule = (jnp.arange(1, t_len) % resample_every) == 0
     lw0 = jnp.full((n_particles,), -log_n, jnp.float32)
     init = (x0, lw0, jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
-    (_, lw_final, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
-        step, init, (y[: t_len - 1], keys, schedule)
-    )
+    # the pf_scan scope catches the scan's own carry/stacking bookkeeping
+    # (dynamic-update-slice of hidden/ancestry history) in profile
+    # attribution; every op inside the body keeps its finer pf_* scope
+    with jax.named_scope("pf_scan"):
+        (_, lw_final, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
+            step, init, (y[: t_len - 1], keys, schedule)
+        )
 
     hidden = jnp.concatenate([x0[None], xs], axis=0)
     ancestry = jnp.concatenate(

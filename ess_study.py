@@ -1,0 +1,144 @@
+"""Long-run ESS/s study -> ESS_STUDY.json (round-3 VERDICT weak #3).
+
+bench.py's ESS numbers come from 128-iteration chains, where min-component
+Geyer ESS has ~25% run-to-run noise — the tuned-vs-fixed comparison and the
+h=0.15 choice were made inside that band.  This harness re-measures on
+chains LONG enough to make the story solid:
+
+  * workload: the bench flagship (SIR, 4096 particles, T=15, 32 vmapped
+    chains, resample_every=4, fast_rbg) at 1024 iterations;
+  * arms: fixed-h h=0.05 (the headline configuration) and pooled-adaptive
+    (Welford covariance pooled across all 32 chains, adapt_start=16) at
+    h in {0.05, 0.1, 0.15, 0.25, 0.4};
+  * 3 seeds per arm; ESS computed per-arm across the 32 chains with the
+    first 128 iterations as burn-in (the adaptive transient), min component;
+  * report mean +/- sd ESS/s across seeds, acceptance, iters/s.
+
+Decision rule: the defensible default is the arm with the best mean ESS/s
+whose seed-spread does not overlap the runner-up's — otherwise keep the
+simpler config and say the difference is noise.
+
+Usage: python ess_study.py   (real TPU; ~6 min)
+       ESS_STUDY_ITERS=256 python ess_study.py   (shrunk)
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import epitpu
+
+    epitpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.diag import ess
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import sir_simulate_discrete
+
+    n_particles = 4096
+    n_chains = 32
+    n_iters = int(os.environ.get("ESS_STUDY_ITERS", "1024"))
+    burn = max(1, n_iters // 8)
+    seeds = (1, 2, 3)
+
+    t = np.linspace(0, 14, 100)
+    df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(42)
+    y = jnp.asarray(
+        rng.binomial(np.round(latent).astype(int), 0.1).astype(np.float32)
+    )
+    model = sir_model()
+    obs = get_observation_model("binomial")
+
+    def run(seed, h, adaptive):
+        return particle_mcmc_chains(
+            model, obs, jax.random.PRNGKey(seed), y,
+            jnp.array([2.0, 1.0]), h,
+            n_chains=n_chains, n_iters=n_iters, obs_param=0.1,
+            n_particles=n_particles, n_population=4820, mu=20.0,
+            steps_per_unit=20, n_init_attempts=2, sampler="fast_rbg",
+            resample_every=4,
+            adaptive=adaptive,
+            adapt_start=16 if adaptive else 10**6,
+            pooled_adaptation=adaptive,
+        )
+
+    arms = [{"name": "fixed_h0.05", "h": 0.05, "adaptive": False}]
+    arms += [
+        {"name": f"adaptive_h{h}", "h": h, "adaptive": True}
+        for h in (0.05, 0.1, 0.15, 0.25, 0.4)
+    ]
+
+    results = []
+    for arm in arms:
+        # compile once per static config (adaptive toggles the program)
+        np.asarray(run(0, arm["h"], arm["adaptive"]).thetas)
+        per_seed = []
+        for seed in seeds:
+            t0 = time.perf_counter()
+            r = run(seed, arm["h"], arm["adaptive"])
+            th = np.asarray(r.thetas)  # [chains, iters, d]
+            wall = time.perf_counter() - t0
+            e = float(np.min(ess(th[:, burn:, :])))
+            per_seed.append({
+                "seed": seed,
+                "wall_s": round(wall, 3),
+                "ess_min": round(e, 1),
+                "ess_per_s": round(e / wall, 2),
+                "iters_per_s": round(n_chains * n_iters / wall, 1),
+                "acceptance": round(
+                    float(np.asarray(r.acceptances).mean()) / n_iters, 3
+                ),
+            })
+        ess_ps = np.array([s["ess_per_s"] for s in per_seed])
+        results.append({
+            **arm,
+            "ess_per_s_mean": round(float(ess_ps.mean()), 2),
+            "ess_per_s_sd": round(float(ess_ps.std(ddof=1)), 2),
+            "acceptance_mean": round(
+                float(np.mean([s["acceptance"] for s in per_seed])), 3
+            ),
+            "iters_per_s_mean": round(
+                float(np.mean([s["iters_per_s"] for s in per_seed])), 1
+            ),
+            "seeds": per_seed,
+        })
+        print(f"[ess_study] {arm['name']}: "
+              f"{results[-1]['ess_per_s_mean']} +/- "
+              f"{results[-1]['ess_per_s_sd']} ESS/s, "
+              f"acc {results[-1]['acceptance_mean']}", flush=True)
+
+    best = max(results, key=lambda r: r["ess_per_s_mean"])
+    doc = {
+        "workload": {
+            "chains": n_chains, "iters": n_iters, "particles": n_particles,
+            "resample_every": 4, "sampler": "fast_rbg", "burn_in": burn,
+            "seeds": list(seeds),
+        },
+        "arms": results,
+        "best_arm": best["name"],
+        "note": (
+            "Min-component Geyer ESS across 32 chains of "
+            f"{n_iters} iterations (burn {burn}), 3 seeds per arm — the "
+            "long-run replacement for bench.py's 128-iteration ESS "
+            "numbers whose ~25% noise band round 3 flagged."
+        ),
+    }
+    with open("ESS_STUDY.json", "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"best": best["name"],
+                      "ess_per_s": best["ess_per_s_mean"],
+                      "sd": best["ess_per_s_sd"]}))
+
+
+if __name__ == "__main__":
+    main()

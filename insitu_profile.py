@@ -38,14 +38,25 @@ import re
 import shutil
 import tempfile
 
+# Order matters: classify() returns the FIRST phase found in an op's scope
+# path, so the fine-grained body scopes come first and the container scopes
+# (pf_scan / pmmh_scan, which wrap entire lax.scan calls and therefore
+# appear in every body op's path) come last — a body op classified by its
+# inner scope, scan bookkeeping (carry/stacking dynamic-update-slices, which
+# carry only the container scope) classified to its scan.
 PHASES = (
     "pf_propagate",
     "pf_weight",
     "pf_resample",
+    "pf_loglik",
+    "pf_init",
     "path_sample",
     "mh_propose",
     "mh_accept",
     "adapt_welford",
+    "pmmh_init",
+    "pf_scan",
+    "pmmh_scan",
 )
 
 RNG_OP_RE = re.compile(

@@ -369,6 +369,78 @@ def abc_backend_comparison(batch_size=4096, n_samples=2000, threshold=150.0,
     return out
 
 
+def resampler_crossover(ns=(4096, 8192, 16384, 32768), chains=32, reps=64):
+    """Where does the O(N^2) compare-reduce systematic resampler cross over
+    vs the O(N) counts+scatter variant?  (Round-3 VERDICT weak #4: the
+    'beats alternatives up to at least N=16k' guidance in
+    epitpu/smc/resample.py was asserted at N=4096 only.)  Micro-bench on
+    the real chip, in the production shape: the resampler vmapped over the
+    chains axis, run ``reps`` times under one jitted scan so dispatch
+    overhead amortizes.  Returns the per-call table; the crossover N is
+    where scatter first wins."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.smc.resample import get_resampler
+
+    rows = []
+    for n in ns:
+        row = {"n_particles": n, "chains": chains}
+        for kind in ("systematic", "systematic_scatter"):
+            res = get_resampler(kind)
+
+            @jax.jit
+            def bench(key, _res=res, _n=n):
+                logw0 = jax.random.normal(key, (chains, _n)) * 2.0
+
+                def body(carry, k):
+                    # perturb the weights each step so XLA cannot hoist the
+                    # resample out of the scan
+                    logw = carry + jax.random.normal(k, (chains, _n)) * 0.1
+                    anc, _ = jax.vmap(_res)(
+                        jax.random.split(k, chains), logw
+                    )
+                    # fold ancestors back into the carry (data dependence)
+                    return jnp.take_along_axis(logw, anc, axis=-1), anc[0, 0]
+
+                out, _ = jax.lax.scan(
+                    body, logw0, jax.random.split(key, reps)
+                )
+                return out
+
+            jax.block_until_ready(bench(jax.random.PRNGKey(0)))  # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(bench(jax.random.PRNGKey(1)))
+            dt = time.perf_counter() - t0
+            row[kind + "_us_per_call"] = round(1e6 * dt / reps, 1)
+        row["scatter_speedup"] = round(
+            row["systematic_us_per_call"]
+            / row["systematic_scatter_us_per_call"], 3
+        )
+        rows.append(row)
+        print(f"[scaling] resampler N={n}: compare-reduce "
+              f"{row['systematic_us_per_call']}us vs scatter "
+              f"{row['systematic_scatter_us_per_call']}us "
+              f"(scatter {row['scatter_speedup']}x)", flush=True)
+    crossover = next(
+        (r["n_particles"] for r in rows if r["scatter_speedup"] > 1.0), None
+    )
+    return {
+        "mode": "resampler_crossover",
+        "chains": chains,
+        "reps": reps,
+        "rows": rows,
+        "crossover_n": crossover,
+        "note": (
+            "Per-call device time of the vmapped resampler inside a jitted "
+            "scan (includes the take_along_axis gather both variants feed). "
+            "The compare-reduce is O(N^2) compares on the VPU; scatter is "
+            "O(N) but gather/scatter-bound. crossover_n = smallest N where "
+            "scatter wins (null = never within the sweep)."
+        ),
+    }
+
+
 def main(argv=None):
     import epitpu
 
@@ -380,10 +452,13 @@ def main(argv=None):
                     help="ABC backend (pallas vs xla) comparison (run on TPU)")
     ap.add_argument("--particle", action="store_true",
                     help="particle-axis weak scaling (virtual CPU mesh)")
+    ap.add_argument("--resampler", action="store_true",
+                    help="compare-reduce vs scatter resampler N-sweep "
+                    "(run on TPU)")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args(argv)
 
-    if not (args.tpu or args.abc):
+    if not (args.tpu or args.abc or args.resampler):
         _reexec_cpu()
 
     existing = {}
@@ -393,6 +468,8 @@ def main(argv=None):
 
     if args.abc:
         existing["abc_backend_comparison"] = abc_backend_comparison()
+    elif args.resampler:
+        existing["resampler_crossover"] = resampler_crossover()
     elif args.tpu:
         existing["tpu_chain_sweep"] = tpu_chain_sweep()
     elif args.particle:
