@@ -57,6 +57,13 @@ def _configure(cfg):
     cfg.mcmc.n_chains = CHAINS
     cfg.mcmc.n_particles = PARTICLES
     cfg.mcmc.adaptive = True  # every reference experiment driver adapts
+    if cfg.model == "seir":
+        # the reference's SEIR driver warm-starts an adapted Sigma from a
+        # previous run with h=4 (test_pmcmc_seir.py:26-30); this study runs
+        # cold, so the preset's h=0.02 mixes far too slowly in 1000 iters
+        # (acceptance 0.70, R-hat 1.85).  On-chip tune: h=0.4 -> acceptance
+        # 0.30, R-hat 1.03, min ESS 116.
+        cfg.mcmc.h = 0.4
     cfg.checkpoint_every = CHECKPOINT_EVERY
     cfg.make_plots = False
     cfg.out_dir = OUT_DIR
