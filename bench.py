@@ -48,6 +48,11 @@ def main():
     # exact_moments).
     n_chains = int(os.environ.get("BENCH_CHAINS", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "128"))
+    # steps_per_unit=20 is EVIDENCED, not assumed (SUBSTEPS.json, round 4):
+    # it is the smallest substep count whose PF log-likelihood matches the
+    # substeps=80 anchor (bias -0.003 log units, z=-0.6); 10 substeps would
+    # be ~1.5x faster but biases E[logZ] by -0.66 (z=-105) and tilts the
+    # gamma posterior ~0.8 sd — not a free win.
     steps_per_unit = int(os.environ.get("BENCH_STEPS_PER_UNIT", "20"))
     sampler = os.environ.get("BENCH_SAMPLER", "fast_rbg")
     resampling = os.environ.get("BENCH_RESAMPLING", "systematic")

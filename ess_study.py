@@ -73,9 +73,12 @@ def main():
         )
 
     arms = [{"name": "fixed_h0.05", "h": 0.05, "adaptive": False}]
+    # the first long-run sweep (0.05-0.4) rose monotonically — 25.6, 60.8,
+    # 85.7, 139.1, 198.9 ESS/s — with acceptance still 0.49 at h=0.4, so
+    # the upper arms probe past the noisy-PMMH acceptance optimum
     arms += [
         {"name": f"adaptive_h{h}", "h": h, "adaptive": True}
-        for h in (0.05, 0.1, 0.15, 0.25, 0.4)
+        for h in (0.05, 0.15, 0.25, 0.4, 0.6, 1.0, 1.6, 2.4)
     ]
 
     results = []
