@@ -117,6 +117,7 @@ def save_pmmh_checkpoint(path, state, key, n_iters, thetas,
         welford_m2=np.asarray(state.welford.m2),
         acceptances=np.asarray(state.acceptances),
         step=np.asarray(state.step),
+        log_scale=np.asarray(state.log_scale),
         key=_key_data(key),
         n_iters=np.asarray(int(n_iters)),
         hist_thetas=np.asarray(thetas),
@@ -144,6 +145,12 @@ def load_pmmh_checkpoint(path) -> Optional[PMMHCheckpoint]:
         ),
         acceptances=jnp.asarray(z["acceptances"]),
         step=jnp.asarray(z["step"]),
+        # pre-round-4 checkpoints lack the Robbins-Monro scale; 0 = the
+        # identity multiplier, which is what those runs used
+        log_scale=jnp.asarray(
+            z["log_scale"] if "log_scale" in z.files
+            else np.zeros(np.shape(z["step"]), np.float32)
+        ),
     )
     return PMMHCheckpoint(
         state=state,

@@ -67,6 +67,12 @@ class PMMHState:
     welford: Welford
     acceptances: jnp.ndarray
     step: jnp.ndarray
+    # log proposal-scale multiplier maintained by the Robbins-Monro
+    # target-acceptance controller (0.0 when target_acceptance is off;
+    # effective proposal covariance = exp(log_scale) * h * Sigma)
+    log_scale: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(())
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -269,6 +275,7 @@ def particle_mcmc(
     telemetry_fn=None,
     pooled_adaptation: bool = False,
     filter_axis_name: Optional[str] = None,
+    target_acceptance: Optional[float] = None,
 ) -> PMMHResult:
     """Run one PMMH chain.  Mirrors ``particle_mcmc`` (reference
     pmcmc.py:251-408) with ``obs_param``/``infer_obs_param`` replacing the
@@ -304,6 +311,18 @@ def particle_mcmc(
     filter normalizes weights with psum collectives, and the path sampler
     consumes the all-gathered history.  The chain key must be replicated
     along that axis so proposals/accepts agree across particle shards.
+
+    ``target_acceptance`` switches on diminishing-adaptation Robbins-Monro
+    scaling of the proposal (Andrieu & Thoms 2008, Algorithm 4): the
+    effective covariance is ``exp(log_s) * h * Sigma`` with
+    ``log_s += i^-0.66 * (alpha_i - target)`` where ``alpha_i = min(1,
+    ratio)`` is the realized acceptance probability.  This removes the
+    hand-tuning of ``h`` the reference requires per experiment (reference
+    drivers hardcode h per script, e.g. tests/test_pmcmc_noisy.py:42-55
+    h=10 vs test_pmcmc_p.py h=5): set the target (long-run on-chip sweep
+    ESS_STUDY.json: ESS/s at 4096 particles peaks toward acceptance ~0.2-
+    0.3) and the scale finds itself.  The adaptation is diminishing, so
+    the chain remains ergodic; no reference counterpart.
     """
     if pooled_adaptation:
         # a single chain has nothing to pool over; the chain-batched entry
@@ -348,9 +367,11 @@ def particle_mcmc(
         filter_axis_name=filter_axis_name,
     )
 
-    def propose(k, center, cov):
+    def propose(k, center, cov, log_s=None):
         z = jax.random.normal(k, (d,))
         chol = jnp.linalg.cholesky(h * cov)
+        if log_s is not None:
+            chol = chol * jnp.exp(0.5 * log_s)
         return center + chol @ z
 
     k_init, k_chain = jax.random.split(key)
@@ -394,6 +415,7 @@ def particle_mcmc(
         w0 = w0.update(theta_init)  # thetas[0] enters the adaptive history
         accepts0 = jnp.asarray(1, jnp.int32)
         step0 = jnp.asarray(0, jnp.int32)  # last produced row index
+        log_s0 = jnp.asarray(0.0, jnp.float32)
         n_scan = (n_iters if segment_len is None else segment_len) - 1
         key_start = jnp.asarray(0, jnp.int32)
     else:
@@ -403,6 +425,7 @@ def particle_mcmc(
         w0 = init_state.welford
         accepts0 = init_state.acceptances
         step0 = init_state.step
+        log_s0 = jnp.asarray(init_state.log_scale, jnp.float32)
         if segment_len is None:
             # the remaining length cannot be derived from the traced step
             raise ValueError(
@@ -414,7 +437,7 @@ def particle_mcmc(
         key_start = step0
 
     def step(carry, k):
-        theta, ll, traj, w, accepts, i = carry
+        theta, ll, traj, w, accepts, i, log_s = carry
         k_prop, k_f, k_u = jax.random.split(k, 3)
 
         cov = sigma0
@@ -430,7 +453,10 @@ def particle_mcmc(
             cov = jnp.where(use_adapt, w_eff.covariance(jitter=1e-4), sigma0)
 
         with jax.named_scope("mh_propose"):
-            theta_prop = propose(k_prop, theta, cov)
+            theta_prop = propose(
+                k_prop, theta, cov,
+                log_s if target_acceptance is not None else None,
+            )
         nonneg = jnp.all(theta_prop >= 0.0)
         m_theta, o_param, stored = _split_theta(
             theta_prop, infer_obs_param, obs_param
@@ -448,6 +474,17 @@ def particle_mcmc(
             theta = jnp.where(accept, stored, theta)
             ll = jnp.where(accept, ll_prop, ll)
             traj = jnp.where(accept, traj_prop, traj)
+        if target_acceptance is not None:
+            # Robbins-Monro on the log proposal scale (diminishing
+            # adaptation): realized acceptance probability, with invalid
+            # proposals (negative theta / degenerate filter) counting 0
+            alpha = jnp.where(
+                nonneg & jnp.isfinite(ll_prop),
+                jnp.minimum(1.0, jnp.exp(jnp.minimum(log_ratio, 0.0))),
+                0.0,
+            )
+            gamma_i = jnp.power(i.astype(jnp.float32), -0.66)
+            log_s = log_s + gamma_i * (alpha - target_acceptance)
         with jax.named_scope("adapt_welford"):
             w = w.update(theta)
         accepts = accepts + accept.astype(jnp.int32)
@@ -461,17 +498,21 @@ def particle_mcmc(
                 _throttled(tel, log_every), i, accepts, theta, ll,
                 ordered=False,
             )
-        return (theta, ll, traj, w, accepts, i + 1), (theta, ll, traj)
+        return (
+            (theta, ll, traj, w, accepts, i + 1, log_s),
+            (theta, ll, traj),
+        )
 
     scan_keys = jax.lax.dynamic_slice_in_dim(keys_all, key_start, n_scan)
-    carry0 = (theta_init, ll_init, traj_init, w0, accepts0, step0 + 1)
+    carry0 = (theta_init, ll_init, traj_init, w0, accepts0, step0 + 1, log_s0)
     # pmmh_scan catches the chain scan's own bookkeeping (stacking of the
     # (theta, ll, traj) outputs per iteration) in profile attribution;
     # body ops keep their finer mh_*/pf_* scopes
     with jax.named_scope("pmmh_scan"):
-        (theta_f, ll_f, traj_f, w_f, accepts, i_f), (thetas, lls, trajs) = (
-            jax.lax.scan(step, carry0, scan_keys)
-        )
+        (
+            (theta_f, ll_f, traj_f, w_f, accepts, i_f, log_s_f),
+            (thetas, lls, trajs),
+        ) = jax.lax.scan(step, carry0, scan_keys)
 
     if init_state is None:
         thetas = jnp.concatenate([theta_init[None], thetas], axis=0)
@@ -484,6 +525,7 @@ def particle_mcmc(
         welford=w_f,
         acceptances=accepts,
         step=i_f - 1,
+        log_scale=log_s_f,
     )
     return PMMHResult(
         thetas=thetas,
@@ -504,6 +546,7 @@ _STATIC_NAMES = (
     "resample_every", "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
     "pool_axes", "pooled_adaptation", "filter_axis_name",
+    "target_acceptance",
 )
 
 
@@ -551,6 +594,7 @@ def particle_mcmc_chains(
     log_every: int = 0,
     telemetry_fn=None,
     pooled_adaptation: bool = False,
+    target_acceptance: Optional[float] = None,
 ) -> PMMHResult:
     """Run ``n_chains`` independent PMMH chains vmapped on one device, as ONE
     compiled XLA program (eager dispatch through the tunneled TPU costs
@@ -584,4 +628,5 @@ def particle_mcmc_chains(
         n_init_attempts=n_init_attempts, sampler=sampler,
         segment_len=segment_len, log_every=log_every,
         telemetry_fn=telemetry_fn, pool_axes=pool_axes,
+        target_acceptance=target_acceptance,
     )

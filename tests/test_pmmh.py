@@ -337,6 +337,64 @@ def test_pooled_adaptation_chains(sir_dataset):
     assert abs(post[..., 1].mean() - 1.0) < 0.6
 
 
+def test_target_acceptance_self_tunes(sir_dataset):
+    """target_acceptance switches on Robbins-Monro proposal scaling
+    (round-4 feature; the reference hand-tunes h per experiment script).
+    From a deliberately tiny h — where fixed-h acceptance sits near 0.9 —
+    the controller must drive realized acceptance down toward the target."""
+    y, _ = sir_dataset
+
+    def run(**kw):
+        return particle_mcmc_jit(
+            sir_model(), get_observation_model("binomial"),
+            jax.random.PRNGKey(11), y, jnp.array([2.0, 1.0]), 0.001,
+            n_iters=300, n_particles=64, steps_per_unit=5,
+            n_init_attempts=2, **kw,
+        )
+
+    def realized_acc(r, start):
+        th = np.asarray(r.thetas)[start:]
+        return float((np.abs(np.diff(th, axis=0)).sum(1) > 0).mean())
+
+    acc_fixed = realized_acc(run(), 150)
+    r = run(target_acceptance=0.25)
+    acc_tuned = realized_acc(r, 150)
+    assert acc_fixed > 0.55, acc_fixed  # tiny h over-accepts without control
+    assert abs(acc_tuned - 0.25) < 0.13, acc_tuned
+    # the controller actually raised the scale (log_s > 0 for a too-small h)
+    assert float(r.final_state.log_scale) > 0.5
+
+
+def test_target_acceptance_resumes_bit_compatible(sir_dataset):
+    """log_scale rides the checkpoint state: a segmented target_acceptance
+    run must concatenate bit-identically to the unsegmented one."""
+    from epitpu.mcmc import particle_mcmc
+
+    y, _ = sir_dataset
+    kw = dict(
+        n_iters=40, n_particles=32, steps_per_unit=4, n_init_attempts=2,
+        target_acceptance=0.3,
+    )
+    key = jax.random.PRNGKey(12)
+    full = particle_mcmc_jit(
+        sir_model(), get_observation_model("binomial"), key, y,
+        jnp.array([2.0, 1.0]), 0.05, **kw,
+    )
+    seg1 = particle_mcmc_jit(
+        sir_model(), get_observation_model("binomial"), key, y,
+        jnp.array([2.0, 1.0]), 0.05, segment_len=20, **kw,
+    )
+    seg2 = particle_mcmc(
+        sir_model(), get_observation_model("binomial"), key, y,
+        jnp.array([2.0, 1.0]), 0.05, init_state=seg1.final_state,
+        segment_len=20, **kw,
+    )
+    joined = np.concatenate(
+        [np.asarray(seg1.thetas), np.asarray(seg2.thetas)], axis=0
+    )
+    np.testing.assert_array_equal(joined, np.asarray(full.thetas))
+
+
 def test_pooled_adaptation_rejected_on_single_chain(sir_dataset):
     """particle_mcmc has no chain axis to pool over, so passing
     pooled_adaptation=True directly must raise a clear error instead of
