@@ -319,10 +319,14 @@ def particle_mcmc(
     ratio)`` is the realized acceptance probability.  This removes the
     hand-tuning of ``h`` the reference requires per experiment (reference
     drivers hardcode h per script, e.g. tests/test_pmcmc_noisy.py:42-55
-    h=10 vs test_pmcmc_p.py h=5): set the target (long-run on-chip sweep
-    ESS_STUDY.json: ESS/s at 4096 particles peaks toward acceptance ~0.2-
-    0.3) and the scale finds itself.  The adaptation is diminishing, so
-    the chain remains ergodic; no reference counterpart.
+    h=10 vs test_pmcmc_p.py h=5): set the target and the scale finds
+    itself.  The long-run on-chip sweep (ESS_STUDY.json: 1024-iter chains,
+    3 seeds/arm) put the ESS/s peak at acceptance ~0.25-0.40 for the 4096-
+    particle flagship (240 ESS/s at 0.38), so target 0.35 is a good
+    default there; the classic noisy-PMMH ~0.1 optimum applies only when
+    the log-likelihood estimate is much noisier (fewer particles).  The
+    adaptation is diminishing, so the chain remains ergodic; no reference
+    counterpart.
     """
     if pooled_adaptation:
         # a single chain has nothing to pool over; the chain-batched entry

@@ -404,7 +404,11 @@ def resampler_crossover(ns=(4096, 8192, 16384, 32768), chains=32,
                 logw = logw0 + carry
                 anc, _ = jax.vmap(res)(jax.random.split(k, chains), logw)
                 gathered = jnp.take_along_axis(x0, anc[..., None], axis=1)
-                return carry + gathered[0, 0, 0] * 1e-12, None
+                # consume EVERY gathered element: anything narrower lets
+                # XLA dead-code-eliminate most of the resample (a first
+                # version fed only gathered[0,0,0] back and measured pure
+                # dispatch)
+                return carry + jnp.sum(gathered) * 1e-12, None
 
             out, _ = jax.lax.scan(
                 body, jnp.asarray(0.0), jax.random.split(k_scan, reps)
