@@ -54,6 +54,12 @@ class MCMCConfig:
     # index), worth ~25%% throughput at k=2 on TPU (PROFILE_insitu.json:
     # resampling is ~49%% of the PMMH iteration).  1 = resample every step.
     resample_every: int = 1
+    # Robbins-Monro self-tuning of the proposal scale toward this realized
+    # acceptance rate (diminishing adaptation; replaces the reference's
+    # per-script hand-tuned h).  ESS_STUDY.json put the ESS/s optimum at
+    # acceptance ~0.25-0.40 for the 4096-particle flagship; 0.35 is a good
+    # target there.  None = fixed scale (reference behavior).
+    target_acceptance: Optional[float] = None
     # tau-leap binomial sampler: "fast" (threefry), "fast_rbg" (hardware RNG
     # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
     # or "exact" (jax.random.binomial, validation runs)

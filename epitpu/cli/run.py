@@ -332,6 +332,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         resample_threshold=m.resample_threshold,
         resample_every=m.resample_every,
         sampler=m.sampler,
+        target_acceptance=m.target_acceptance,
         # vmap-safe in-scan telemetry: single-chain runs stream the
         # reference's line, many-chain runs a chains-aggregated one
         log_every=m.log_every,
@@ -696,6 +697,12 @@ def main(argv=None):
         "standard SMC choice, lower-variance likelihood estimate)",
     )
     ap.add_argument(
+        "--target-acceptance", type=float, default=None, metavar="A",
+        help="Robbins-Monro self-tuning of the proposal scale toward this "
+        "realized acceptance rate (ESS_STUDY.json: ~0.35 is the ESS/s "
+        "optimum at 4096 particles); replaces per-experiment h tuning",
+    )
+    ap.add_argument(
         "--plot-particles", action="store_true",
         help="run one particle filter at the posterior-mean theta and plot "
         "particle clouds + ancestry lines (reference filter visualization)",
@@ -781,6 +788,8 @@ def _apply_overrides(cfg, args):
         cfg.surface_points = args.surface
     if args.plot_particles:
         cfg.plot_particles = True
+    if args.target_acceptance is not None:
+        cfg.mcmc.target_acceptance = args.target_acceptance
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:

@@ -12,8 +12,14 @@ are NaN/degenerate (reference pmcmc.py:185-193).  Here:
     a vmapped ``jnp.searchsorted`` + ``jnp.take`` inside the filter's scan
     measured ~19 ms per step at [32 chains x 4096 particles] on TPU v5e,
     while the compare-reduce is ~40 us — the difference between 117 and
-    >1000 PMMH iters/s.  (O(N^2) compares beat O(N log N) gathers on this
-    hardware up to at least N=16k.)
+    >1000 PMMH iters/s.  The O(N^2) compares lose to the O(N)
+    counts+scatter inversion only past a measured crossover
+    (SCALING.json resampler_crossover, end-to-end through the filter at
+    32 chains on v5e: compare-reduce wins at N<=8192, scatter wins 1.22x
+    at N=16384 and 1.97x at N=32768), so ``systematic`` AUTO-DISPATCHES
+    to the scatter path at ``n >= SCATTER_THRESHOLD_N`` — same ancestor
+    assignment either way (see ``systematic_resample_scatter``), purely a
+    kernel choice;
   * "systematic" (default) is the lower-variance stratified scheme: a single
     uniform offset + N equally spaced points through the CDF;
   * "multinomial" reproduces the reference's scheme (N iid categorical
@@ -77,9 +83,26 @@ def _compare_reduce_ancestors(cdf, points):
     return jnp.minimum(anc, n - 1)
 
 
+# Smallest particle count at which the O(N) counts+scatter inversion beats
+# the O(N^2) compare-reduce end-to-end on TPU v5e (SCALING.json
+# resampler_crossover: scatter 1.22x at 16384, 1.97x at 32768; compare-
+# reduce 1.6x/1.1x faster at 4096/8192).  ``systematic_resample`` switches
+# kernels here — the ancestor assignment is identical either way.
+SCATTER_THRESHOLD_N = 16384
+
+
 def systematic_resample(key, logw):
-    """Systematic resampling: points (i + u)/N for one u ~ U[0,1)."""
+    """Systematic resampling: points (i + u)/N for one u ~ U[0,1).
+
+    Dispatches to the O(N) scatter kernel at ``n >= SCATTER_THRESHOLD_N``
+    (a static shape decision, resolved at trace time); both kernels draw
+    the same single uniform and produce the same ancestor assignment away
+    from measure-zero CDF boundary ties
+    (tests/test_resample.py::test_scatter_systematic_matches_compare_reduce).
+    """
     n = logw.shape[-1]
+    if n >= SCATTER_THRESHOLD_N:
+        return systematic_resample_scatter(key, logw)
     cdf, degenerate = _safe_cdf(logw)
     total = cdf[..., -1:]
     u = jax.random.uniform(key, shape=logw.shape[:-1] + (1,))

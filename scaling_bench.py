@@ -370,79 +370,83 @@ def abc_backend_comparison(batch_size=4096, n_samples=2000, threshold=150.0,
 
 
 def resampler_crossover(ns=(4096, 8192, 16384, 32768), chains=32,
-                        reps=1024):
+                        reps=64):
     """Where does the O(N^2) compare-reduce systematic resampler cross over
     vs the O(N) counts+scatter variant?  (Round-3 VERDICT weak #4: the
     'beats alternatives up to at least N=16k' guidance in
-    epitpu/smc/resample.py was asserted at N=4096 only.)  Micro-bench on
-    the real chip, in the production shape: the resampler vmapped over the
-    chains axis, ``reps`` calls under ONE jitted scan (so the ~ms tunnel
-    dispatch amortizes to noise), MINUS a baseline arm running the same
-    scan body without the resampler (isolating the resample+gather from
-    the RNG/perturb scaffolding).  The crossover N is where scatter first
-    wins."""
+    epitpu/smc/resample.py was asserted at N=4096 only.)
+
+    Measured END-TO-END through the real filter: the resample output feeds
+    the propagation which feeds the consumed log-likelihood, so XLA cannot
+    dead-code-eliminate any of it (two earlier synthetic micro-bench
+    designs measured pure dispatch because the optimizer hoisted or pruned
+    the resample — the per-call numbers came out 1000x too small against
+    the in-situ trace).  ``steps_per_unit=2`` keeps propagation small so
+    the between-kind DELTA is dominated by the resampler; ``reps`` filters
+    per jitted scan amortize the ~ms tunnel dispatch.  The crossover N is
+    where the scatter variant's end-to-end filter first wins."""
     import jax
-    import jax.numpy as jnp
 
-    from epitpu.smc.resample import get_resampler
+    def make_bench(kind, n, y, model, obs):
+        import jax.numpy as jnp
 
-    def make_bench(kind, n):
-        res = get_resampler(kind)
+        from epitpu.smc import particle_filter
 
         @jax.jit
         def bench(key):
-            k_w, k_x, k_scan = jax.random.split(key, 3)
-            logw0 = jax.random.normal(k_w, (chains, n)) * 2.0
-            x0 = jax.random.normal(k_x, (chains, n, 3))  # particle states
+            def one(k):
+                return particle_filter(
+                    model, obs, k, y, jnp.array([2.0, 1.0]), 0.1,
+                    n_particles=n, n_population=4820.0, mu=20.0,
+                    steps_per_unit=2, resampling=kind, sampler="fast_rbg",
+                ).log_likelihood
 
             def body(carry, k):
-                # a SCALAR per-step shift of the weights: numerically
-                # recomputes the whole CDF every step (XLA cannot hoist or
-                # symbolically cancel it) at negligible added work, so the
-                # per-step time IS resample + the ancestor gather the
-                # filter performs (epitpu/smc/filter.py _do_resample)
-                logw = logw0 + carry
-                anc, _ = jax.vmap(res)(jax.random.split(k, chains), logw)
-                gathered = jnp.take_along_axis(x0, anc[..., None], axis=1)
-                # consume EVERY gathered element: anything narrower lets
-                # XLA dead-code-eliminate most of the resample (a first
-                # version fed only gathered[0,0,0] back and measured pure
-                # dispatch)
-                return carry + jnp.sum(gathered) * 1e-12, None
+                ll = jnp.sum(jax.vmap(one)(jax.random.split(k, chains)))
+                return carry + ll * 1e-12, None
 
             out, _ = jax.lax.scan(
-                body, jnp.asarray(0.0), jax.random.split(k_scan, reps)
+                body, jnp.asarray(0.0), jax.random.split(key, reps)
             )
             return out
 
         return bench
 
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    model = sir_model()
+    obs = get_observation_model("binomial")
+    y = _dataset()
+    t_steps = int(np.asarray(y).shape[0]) - 1
+
     def timed(kind, n):
-        bench = make_bench(kind, n)
+        bench = make_bench(kind, n, y, model, obs)
         jax.block_until_ready(bench(jax.random.PRNGKey(0)))  # compile
         best = float("inf")
         for seed in (1, 2, 3):
             t0 = time.perf_counter()
             jax.block_until_ready(bench(jax.random.PRNGKey(seed)))
             best = min(best, time.perf_counter() - t0)
-        return 1e6 * best / reps
+        # per chains-batched RESAMPLE step (T-1 resamples per filter)
+        return 1e6 * best / (reps * t_steps)
 
     rows = []
     for n in ns:
         row = {"n_particles": n, "chains": chains}
         for kind in ("systematic", "systematic_scatter"):
-            row[kind + "_us_per_call"] = round(timed(kind, n), 2)
-        row["scatter_speedup"] = round(
-            row["systematic_us_per_call"]
-            / row["systematic_scatter_us_per_call"], 3
+            row[kind + "_us_per_step"] = round(timed(kind, n), 2)
+        row["scatter_speedup_e2e"] = round(
+            row["systematic_us_per_step"]
+            / row["systematic_scatter_us_per_step"], 3
         )
         rows.append(row)
-        print(f"[scaling] resampler N={n}: compare-reduce "
-              f"{row['systematic_us_per_call']}us vs scatter "
-              f"{row['systematic_scatter_us_per_call']}us "
-              f"(scatter {row['scatter_speedup']}x)", flush=True)
+        print(f"[scaling] resampler N={n}: filter-step compare-reduce "
+              f"{row['systematic_us_per_step']}us vs scatter "
+              f"{row['systematic_scatter_us_per_step']}us "
+              f"(scatter {row['scatter_speedup_e2e']}x)", flush=True)
     crossover = next(
-        (r["n_particles"] for r in rows if r["scatter_speedup"] > 1.0),
+        (r["n_particles"] for r in rows if r["scatter_speedup_e2e"] > 1.0),
         None,
     )
     return {
@@ -452,14 +456,15 @@ def resampler_crossover(ns=(4096, 8192, 16384, 32768), chains=32,
         "rows": rows,
         "crossover_n": crossover,
         "note": (
-            "Per-call device time of the vmapped resampler + the [N,3] "
-            "ancestor gather the filter performs, inside a jitted scan "
-            "whose only other per-step work is a scalar weight shift "
-            "(recomputes the CDF, adds nothing measurable). reps=1024 "
-            "calls per dispatch amortizes the ~ms tunnel dispatch; "
-            "best-of-3. The compare-reduce is O(N^2) compares on the VPU; "
-            "scatter is O(N) but gather/scatter-bound. crossover_n = "
-            "smallest N where scatter wins (null = never in the sweep)."
+            "End-to-end filter-step time (32 vmapped chains, T=15, "
+            "steps_per_unit=2 so the between-kind delta is resampler-"
+            "dominated), reps filters per jitted scan, best-of-3. "
+            "Synthetic micro-benches were abandoned: XLA pruned/hoisted "
+            "the resample and measured pure dispatch. The compare-reduce "
+            "is O(N^2) compares on the VPU; scatter is O(N) but "
+            "scatter/gather-bound. crossover_n = smallest N where the "
+            "scatter variant's end-to-end filter wins (null = never in "
+            "the sweep)."
         ),
     }
 

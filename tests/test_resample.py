@@ -83,6 +83,25 @@ def test_batched_resampling():
     assert degen.shape == (4,)
 
 
+def test_systematic_auto_dispatches_to_scatter_at_threshold(monkeypatch):
+    """At n >= SCATTER_THRESHOLD_N (measured crossover, SCALING.json)
+    'systematic' silently uses the O(N) scatter kernel; the assignment is
+    identical, so the switch is pure kernel selection."""
+    from epitpu.smc import resample as rs
+
+    monkeypatch.setattr(rs, "SCATTER_THRESHOLD_N", 64)
+    k = jax.random.PRNGKey(3)
+    logw = jax.random.normal(jax.random.PRNGKey(4), (128,))
+    a, d_a = rs.systematic_resample(k, logw)  # dispatches to scatter
+    b, d_b = rs.systematic_resample_scatter(k, logw)
+    assert not bool(d_a) and not bool(d_b)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # below the threshold the compare-reduce path still runs and agrees
+    monkeypatch.setattr(rs, "SCATTER_THRESHOLD_N", 1 << 30)
+    c, _ = rs.systematic_resample(k, logw)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(b))
+
+
 def test_scatter_systematic_matches_compare_reduce():
     """The O(N) counts+scatter systematic resampler (opt-in: it benchmarked
     slower than the compare-reduce at production N on the v5e VPU, see
