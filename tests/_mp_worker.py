@@ -80,6 +80,38 @@ def run_particle_workload(mesh):
     )
 
 
+def run_pmmh_particle_workload(mesh):
+    """PMMH whose FILTER particle axis spans both processes (round-4: the
+    particle mesh axis is plumbed into the PMMH step itself): 1 chain, its
+    64-particle cloud split 16/shard over 4 devices across 2 processes —
+    the psum/all_gather collectives inside the PMMH iteration ride Gloo."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.dist import sharded_pmmh
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y = jnp.asarray(tiny_sir_data())
+    return sharded_pmmh(
+        mesh,
+        sir_model(),
+        get_observation_model("binomial"),
+        jax.random.PRNGKey(31),
+        y,
+        jnp.array([2.0, 1.0]),
+        0.05,
+        n_chains_total=1,
+        n_iters=8,
+        obs_param=0.3,
+        n_particles=64,  # global per chain: 16 per shard
+        n_population=500.0,
+        mu=20.0,
+        steps_per_unit=2,
+        n_init_attempts=2,
+    )
+
+
 def main():
     port, process_id, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 
@@ -115,6 +147,14 @@ def main():
     ll = float(np.asarray(fres.log_likelihood.addressable_shards[0].data))
     assert np.isfinite(ll), ll
     shards["particle_ll"] = np.asarray(ll)
+
+    # particle-axis-sharded PMMH across the process boundary: the chain
+    # outputs are replicated along the particle axis, so both processes
+    # must hold the identical theta history
+    pres = run_pmmh_particle_workload(mesh_p)
+    shards["pmmh_p_thetas"] = np.asarray(
+        pres.thetas.addressable_shards[0].data
+    )
 
     np.savez(
         os.path.join(out_dir, f"shards_p{process_id}.npz"),

@@ -66,11 +66,14 @@ def test_two_process_sharded_pmmh_matches_single_process(tmp_path):
     # processes' addressable shards
     pieces = {}
     particle_lls = []
+    pmmh_p = []
     for i in range(2):
         with np.load(tmp_path / f"shards_p{i}.npz") as z:
             for start, data in z.items():
                 if start == "particle_ll":
                     particle_lls.append(float(data))
+                elif start == "pmmh_p_thetas":
+                    pmmh_p.append(np.asarray(data))
                 else:
                     pieces[int(start)] = np.asarray(data)
     assert sorted(pieces) == [0, 1, 2, 3], sorted(pieces)
@@ -111,3 +114,14 @@ def test_two_process_sharded_pmmh_matches_single_process(tmp_path):
     )
     single_ll = float(np.asarray(run_particle_workload(mesh_p).log_likelihood))
     np.testing.assert_allclose(particle_lls[0], single_ll, rtol=1e-6)
+
+    # ---- particle-axis-sharded PMMH: the collectives inside the PMMH
+    # step crossed the process boundary; both processes hold the identical
+    # replicated chain, equal to the single-process run of the same mesh
+    from _mp_worker import run_pmmh_particle_workload
+
+    assert len(pmmh_p) == 2
+    np.testing.assert_array_equal(pmmh_p[0], pmmh_p[1])
+    single_pmmh = np.asarray(run_pmmh_particle_workload(mesh_p).thetas)
+    assert np.isfinite(single_pmmh).all()
+    np.testing.assert_allclose(pmmh_p[0], single_pmmh, rtol=1e-6)
