@@ -43,6 +43,7 @@ OUT_DIR = os.environ.get("REPRO_OUT", "data/repro")
 SWEEP_ITERS = 60 if SMOKE else 6000
 SEIR_ITERS = 60 if SMOKE else 1000
 INFERP_ITERS = 60 if SMOKE else 5000
+SUBGRP_ITERS = 60 if SMOKE else 1000  # reference test_pmcmc_sir_subgrps
 CHAINS = 3
 PARTICLES = 16 if SMOKE else 100
 CHECKPOINT_EVERY = 0 if SMOKE else 1500
@@ -52,6 +53,7 @@ def _configure(cfg):
     cfg.mcmc.n_iters = (
         SEIR_ITERS if cfg.model == "seir"
         else INFERP_ITERS if cfg.mcmc.infer_obs_param
+        else SUBGRP_ITERS if cfg.model.startswith("sir_subgroups")
         else SWEEP_ITERS
     )
     cfg.mcmc.n_chains = CHAINS
@@ -64,6 +66,13 @@ def _configure(cfg):
         # (acceptance 0.70, R-hat 1.85).  On-chip tune: h=0.4 -> acceptance
         # 0.30, R-hat 1.03, min ESS 116.
         cfg.mcmc.h = 0.4
+    if cfg.model.startswith("sir_subgroups"):
+        # 5-component theta, cold start: let the Robbins-Monro controller
+        # find the scale instead of hand-tuning h per variant the way the
+        # reference does (h=1 per-group vs h=.5 aggregated,
+        # test_pmcmc_sir_subgrps.py:27 / test_pmcmc_sir_subgrps2.py:30)
+        cfg.mcmc.target_acceptance = 0.35
+        cfg.mcmc.h = 0.1
     cfg.checkpoint_every = CHECKPOINT_EVERY
     cfg.make_plots = False
     cfg.out_dir = OUT_DIR
@@ -86,13 +95,19 @@ def main():
     stages = []
     t_study = time.perf_counter()
 
-    for sweep_name in ("noise", "pobs", "tmps"):
-        cfgs = [_configure(c) for c in SWEEPS[sweep_name]()]
+    def do_sweep(sweep_name, mutate=None, tag=None):
+        cfgs = []
+        for c in SWEEPS[sweep_name]():
+            c = _configure(c)
+            if mutate is not None:
+                mutate(c)
+                c.name = f"{tag}_{c.name}"
+            cfgs.append(c)
         t0 = time.perf_counter()
-        summary = run_sweep(sweep_name, cfgs, verbose=False)
+        summary = run_sweep(tag or sweep_name, cfgs, verbose=False)
         wall = time.perf_counter() - t0
         stages.append({
-            "stage": sweep_name,
+            "stage": tag or sweep_name,
             "kind": "sweep",
             "n_levels": len(summary["levels"]),
             "iters": SWEEP_ITERS,
@@ -101,10 +116,24 @@ def main():
             "wall_s": wall,
             "levels": summary["levels"],
         })
-        print(f"[repro] sweep {sweep_name}: {len(summary['levels'])} levels "
-              f"in {wall:.1f}s", flush=True)
+        print(f"[repro] sweep {tag or sweep_name}: "
+              f"{len(summary['levels'])} levels in {wall:.1f}s", flush=True)
 
-    for preset in ("seir_underreported", "sir_infer_p"):
+    for sweep_name in ("noise", "pobs", "tmps"):
+        do_sweep(sweep_name)
+
+    # the same noise grid with the round-4 Robbins-Monro self-tuned
+    # proposal scale instead of the reference's hand-picked h=10 — the
+    # "beyond the reference" comparison stage (slowest-mixing levels of
+    # the faithful run are the low-noise ones)
+    def _selftune(c):
+        c.mcmc.target_acceptance = 0.35
+        c.mcmc.h = 1.0
+
+    do_sweep("noise", mutate=_selftune, tag="noise_selftuned")
+
+    for preset in ("seir_underreported", "sir_infer_p",
+                   "sir_subgroups", "sir_subgroups2"):
         cfg = _configure(PRESETS[preset]())
         cfg.name = f"repro_{preset}"
         t0 = time.perf_counter()
