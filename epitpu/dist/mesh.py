@@ -7,7 +7,9 @@ single-host joblib process pool over particles (reference pmcmc.py:8,
 
   * particles: vectorized within a chip (the tau-leap kernel is batched) and
     optionally sharded over a ``particle`` mesh axis with psum/all_gather
-    collectives inside the filter (epitpu.smc.filter ``axis_name``);
+    collectives inside the filter (epitpu.smc.filter ``axis_name``) — both
+    standalone (``sharded_particle_filter``) and inside the PMMH step
+    itself (``sharded_pmmh`` on a mesh with particle shards);
   * chains: embarrassingly parallel over a ``chain`` mesh axis via
     ``shard_map`` + per-device ``vmap``, with optional *pooled* adaptive
     covariance via collectives (epitpu.mcmc.adaptive.Welford.pooled) — a
