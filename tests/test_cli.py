@@ -325,6 +325,46 @@ def test_particle_cloud_plot_artifact(tmp_path):
     assert os.path.getsize(path) > 1000
 
 
+def test_repro_report_generator(tmp_path, monkeypatch):
+    """repro.py's REPRO.md renderer survives the stage shapes it consumes
+    (sweep levels with per-chain acceptance lists, flagships incl. the
+    annotated subgroups2) without touching a device."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import repro
+
+    level = {
+        "level": "0.1", "pmse_mean": 0.01, "gelman_rubin": [1.01, 1.02],
+        "ess": [100.0, 200.0], "acceptance": [0.2, 0.3, 0.25],
+        "wall_s": 8.0,
+        "summary": {"beta": {"mean": 2.0, "hdi_lo": 1.8, "hdi_hi": 2.2}},
+    }
+    flag = {
+        "stage": "repro_sir_subgroups2", "kind": "flagship", "iters": 10,
+        "chains": 3, "particles": 16, "wall_s": 1.0,
+        "theta_true": [5.0, 0.5], "pmse": [0.1, 0.1], "pmse_mean": 0.1,
+        "acceptance": [0.4, 0.5, 0.45], "ess": [5.0], "gelman_rubin": [1.3],
+        "summary": {"gamma": {"mean": 0.5, "hdi_lo": 0.4, "hdi_hi": 0.6}},
+    }
+    out = {
+        "device": "cpu", "total_wall_s": 60.0,
+        "total_chain_iterations": 1000, "aggregate_iters_per_s": 16.7,
+        "stages": [
+            {"stage": "noise", "kind": "sweep", "n_levels": 1, "iters": 10,
+             "chains": 3, "particles": 16, "wall_s": 8.0,
+             "levels": [level]},
+            flag,
+        ],
+    }
+    monkeypatch.chdir(tmp_path)
+    repro.write_report(out)
+    text = (tmp_path / "REPRO.md").read_text()
+    assert "Sweep `noise`" in text
+    assert "beta=2.000 [1.800,2.200]" in text
+    assert "weakly identified" in text  # the subgroups2 annotation
+
+
 def test_likelihood_surface_artifact(tmp_path):
     """--surface P evaluates the PF likelihood grid around theta_true and
     writes surface.csv + surface.png (reference likelihood-map workflow,
