@@ -235,7 +235,10 @@ def write_report(out):
         f"**Total study wall-clock: {out['total_wall_s']/60:.1f} minutes** "
         f"for {out['total_chain_iterations']:,} chain-iterations "
         f"({out['aggregate_iters_per_s']:.0f} iters/s aggregate) vs the "
-        "reference's ~5 CPU-days for the same grid run sequentially.",
+        "reference's ~5 CPU-days for the same grid run sequentially.  "
+        "Each sweep's FIRST level includes any one-time XLA compilation "
+        "(persistent-cached across runs); steady-state levels run in "
+        "~8-10 s each — see the per-level wall column.",
         "",
     ]
     for s in out["stages"]:
