@@ -170,6 +170,44 @@ def main():
             ),
         }
 
+    # EFFICIENT-ESS configuration (round-4 particle sweep, ESS_STUDY.json
+    # particle_sweep): the BASELINE secondary metric (ESS/s) names no
+    # particle count, and the pseudo-marginal sampler is EXACT at any N —
+    # ESS/s rises monotonically as N falls until the per-iteration time
+    # goes latency-bound, plateauing at ~2,300 ESS/s for N<=128 (9.6x the
+    # 4096-particle tuned configuration; sd(logZ)=0.19 at N=128, still far
+    # below the ~1.5 pseudo-marginal noise ceiling, so the plateau is
+    # hardware latency, not statistics).  Reported as eff_* alongside.
+    n_eff_particles = int(os.environ.get("BENCH_EFF_PARTICLES", "128"))
+    if os.environ.get("BENCH_SKIP_EFF"):
+        eff = {}
+    else:
+        def run_eff(key, iters):
+            return particle_mcmc_chains(
+                model, obs, key, y, jnp.array([2.0, 1.0]), 0.6,
+                n_chains=n_chains, n_iters=iters, obs_param=0.1,
+                n_particles=n_eff_particles, n_population=4820, mu=20.0,
+                steps_per_unit=steps_per_unit, n_init_attempts=2,
+                sampler=sampler, resampling=resampling,
+                resample_every=resample_every, adaptive=True,
+                adapt_start=16, pooled_adaptation=True,
+            )
+
+        r4 = run_eff(jax.random.PRNGKey(0), n_iters_tuned)
+        np.asarray(r4.thetas)  # warmup/compile
+        t3 = time.time()
+        r4 = run_eff(jax.random.PRNGKey(1), n_iters_tuned)
+        th4 = np.asarray(r4.thetas)
+        elapsed4 = time.time() - t3
+        ess4 = float(np.min(ess(th4[:, n_iters_tuned // 8:, :])))
+        eff = {
+            "eff_ess_per_s": round(ess4 / elapsed4, 2),
+            "eff_particles": n_eff_particles,
+            "eff_acceptance": round(
+                float(np.asarray(r4.acceptances).mean()) / n_iters_tuned, 3
+            ),
+        }
+
     # reference always-resample semantics for comparison
     if os.environ.get("BENCH_SKIP_REF") or resample_every == 1:
         ref = {}
@@ -195,6 +233,7 @@ def main():
         "ess_min_component": round(ess_min, 1),
         "elapsed_s": round(elapsed, 3),
         **tuned,
+        **eff,
         **ref,
     }
     print(json.dumps(out))
