@@ -170,22 +170,24 @@ def main():
             ),
         }
 
-    # EFFICIENT-ESS configuration (round-4 particle sweep, ESS_STUDY.json
-    # particle_sweep): the BASELINE secondary metric (ESS/s) names no
-    # particle count, and the pseudo-marginal sampler is EXACT at any N —
-    # ESS/s rises monotonically as N falls until the per-iteration time
-    # goes latency-bound, plateauing at ~2,300 ESS/s for N<=128 (9.6x the
-    # 4096-particle tuned configuration; sd(logZ)=0.19 at N=128, still far
-    # below the ~1.5 pseudo-marginal noise ceiling, so the plateau is
-    # hardware latency, not statistics).  Reported as eff_* alongside.
+    # EFFICIENT-ESS configuration (round-4 sweeps, ESS_STUDY.json
+    # particle_sweep + chain_scaling_at_eff): the BASELINE secondary
+    # metric (ESS/s) names no particle count, and the pseudo-marginal
+    # sampler is EXACT at any N — ESS/s rises monotonically as N falls
+    # until the per-iteration time goes latency-bound (N<=128;
+    # sd(logZ)=0.19 there, far below the ~1.5 pseudo-marginal noise
+    # ceiling), and at that point CHAINS are nearly free: 512 chains x
+    # 128 particles measured 8,069 +/- 107 ESS/s and ~90k aggregate
+    # iters/s on one chip (1024 chains saturates).  Reported as eff_*.
     n_eff_particles = int(os.environ.get("BENCH_EFF_PARTICLES", "128"))
+    n_eff_chains = int(os.environ.get("BENCH_EFF_CHAINS", "512"))
     if os.environ.get("BENCH_SKIP_EFF"):
         eff = {}
     else:
         def run_eff(key, iters):
             return particle_mcmc_chains(
                 model, obs, key, y, jnp.array([2.0, 1.0]), 0.6,
-                n_chains=n_chains, n_iters=iters, obs_param=0.1,
+                n_chains=n_eff_chains, n_iters=iters, obs_param=0.1,
                 n_particles=n_eff_particles, n_population=4820, mu=20.0,
                 steps_per_unit=steps_per_unit, n_init_attempts=2,
                 sampler=sampler, resampling=resampling,
@@ -202,7 +204,11 @@ def main():
         ess4 = float(np.min(ess(th4[:, n_iters_tuned // 8:, :])))
         eff = {
             "eff_ess_per_s": round(ess4 / elapsed4, 2),
+            "eff_iters_per_s": round(
+                n_eff_chains * n_iters_tuned / elapsed4, 2
+            ),
             "eff_particles": n_eff_particles,
+            "eff_chains": n_eff_chains,
             "eff_acceptance": round(
                 float(np.asarray(r4.acceptances).mean()) / n_iters_tuned, 3
             ),
