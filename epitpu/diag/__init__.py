@@ -8,7 +8,9 @@ from .stats import (
     acceptance_rate,
     burn_thin,
     ess,
+    ess_rank,
     gelman_rubin,
+    gelman_rubin_rank,
     hdi,
     mean_credible_interval,
     pool_chains,
@@ -25,7 +27,9 @@ __all__ = [
     "acceptance_rate",
     "burn_thin",
     "ess",
+    "ess_rank",
     "gelman_rubin",
+    "gelman_rubin_rank",
     "hdi",
     "mean_credible_interval",
     "pool_chains",

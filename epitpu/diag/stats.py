@@ -108,6 +108,65 @@ def ess(chains):
     return float(m * n / tau)
 
 
+def _split_chains(a):
+    """[M, N] -> [2M, N//2]: first and last halves as separate chains (a
+    within-chain trend then shows up as between-chain variance)."""
+    m, n = a.shape
+    half = n // 2
+    return np.concatenate([a[:, :half], a[:, n - half :]], axis=0)
+
+
+def _rank_normalize(a):
+    """Fractional-rank z-scores over the POOLED draws (Vehtari et al. 2021
+    eq. 14): rank with average ties (MH chains repeat values on rejection),
+    then z = ndtri((r - 3/8) / (S + 1/4)).  Shape-preserving."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    flat = np.asarray(a, dtype=float).reshape(-1)
+    r = rankdata(flat, method="average")
+    z = ndtri((r - 0.375) / (flat.size + 0.25))
+    return z.reshape(np.shape(a))
+
+
+def gelman_rubin_rank(chains):
+    """Rank-normalized split-R-hat (Vehtari, Gelman, Simpson, Carpenter,
+    Burkner 2021): split each chain in half, rank-normalize the pooled
+    draws, then apply the classic R-hat formula.  Robust to heavy tails and
+    detects within-chain trends the unsplit estimator misses.  The classic
+    ``gelman_rubin`` stays as the reference-parity estimator (reference
+    helpers.py:15-43).  chains: [M, N, d] -> [d]."""
+    a = np.asarray(chains, dtype=float)
+    if a.ndim == 2:
+        a = a[..., None]
+    out = []
+    for j in range(a.shape[2]):
+        s = _split_chains(a[:, :, j])
+        if np.all(s == s.reshape(-1)[0]):
+            out.append(1.0)  # constant chain: degenerate but not divergent
+            continue
+        z = _rank_normalize(s)
+        out.append(float(gelman_rubin(z[..., None])[0]))
+    return np.asarray(out)
+
+
+def ess_rank(chains):
+    """Rank-normalized bulk ESS (Vehtari et al. 2021): split chains, rank-
+    normalize pooled draws, then the Geyer estimator.  Headline min-ESS
+    claims use THIS estimator (the classic ``ess`` has high variance at
+    small effective sizes and is kept for reference parity).
+    chains: [N], [M, N], or [M, N, d] -> scalar or [d]."""
+    a = np.asarray(chains, dtype=float)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim == 3:
+        return np.asarray([ess_rank(a[:, :, j]) for j in range(a.shape[2])])
+    s = _split_chains(a)
+    if np.all(s == s.reshape(-1)[0]):
+        return float(a.size)
+    return float(ess(_rank_normalize(s)))
+
+
 def running_mean(x, n):
     """Reference helpers.py:46-48."""
     x = np.asarray(x, dtype=float)

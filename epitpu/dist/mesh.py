@@ -162,7 +162,17 @@ def sharded_pmmh(
 
     p_shards = mesh.shape.get(PARTICLE_AXIS, 1)
     if p_shards > 1:
-        n_particles_total = kwargs.pop("n_particles", 1000)
+        if "n_particles" not in kwargs:
+            # don't duplicate particle_mcmc's default here: a silent
+            # fallback would make an n_particles-omitting sharded call
+            # diverge from the unsharded meaning if that default ever
+            # changes (round-4 advisor finding)
+            raise ValueError(
+                "sharded_pmmh on a mesh with particle shards requires an "
+                "explicit n_particles (the GLOBAL per-chain particle count "
+                "to split across the particle axis)"
+            )
+        n_particles_total = kwargs.pop("n_particles")
         if n_particles_total % p_shards:
             raise ValueError(
                 f"n_particles={n_particles_total} not divisible by "

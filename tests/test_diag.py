@@ -128,3 +128,75 @@ def test_pool_chains_burns_every_chain():
     assert pool_chains(chains, burn_in=4, thin=2).shape == (6, 3)
     # 2-D input treated as one chain
     assert pool_chains(chains[0], burn_in=4).shape == (6, 3)
+
+
+def test_rank_rhat_iid_near_one():
+    from epitpu.diag import gelman_rubin_rank
+
+    rng = np.random.default_rng(3)
+    chains = rng.normal(0.0, 1.0, (4, 2000, 2))
+    r = gelman_rubin_rank(chains)
+    assert r.shape == (2,)
+    assert np.all(r < 1.01), r
+
+
+def test_rank_rhat_detects_within_chain_trend():
+    """Split-R-hat catches a drifting chain that the unsplit classic
+    estimator can miss when all chains drift identically."""
+    from epitpu.diag import gelman_rubin, gelman_rubin_rank
+
+    rng = np.random.default_rng(4)
+    n = 1000
+    trend = np.linspace(0.0, 4.0, n)
+    chains = rng.normal(0.0, 1.0, (4, n)) + trend  # same drift per chain
+    classic = gelman_rubin(chains[..., None])[0]
+    split_rank = gelman_rubin_rank(chains[..., None])[0]
+    assert classic < 1.05  # identical drift hides from the unsplit form
+    assert split_rank > 1.25, split_rank
+
+
+def test_rank_ess_iid_close_to_n():
+    from epitpu.diag import ess_rank
+
+    rng = np.random.default_rng(5)
+    chains = rng.normal(0.0, 1.0, (4, 1500))
+    e = float(ess_rank(chains))
+    assert 0.6 * 6000 < e < 1.5 * 6000, e
+
+
+def test_rank_ess_robust_to_heavy_tails():
+    """Cauchy draws break the moment-based classic estimator's stability;
+    the rank-normalized one stays near the true (iid) sample size."""
+    from epitpu.diag import ess_rank
+
+    rng = np.random.default_rng(6)
+    chains = rng.standard_cauchy((4, 1500))
+    e = float(ess_rank(chains))
+    assert 0.5 * 6000 < e < 1.6 * 6000, e
+
+
+def test_rank_estimators_constant_chain_guards():
+    from epitpu.diag import ess_rank, gelman_rubin_rank
+
+    chains = np.ones((3, 100, 1))
+    assert gelman_rubin_rank(chains)[0] == 1.0
+    assert float(ess_rank(chains[:, :, 0])) == 300.0
+
+
+def test_rank_ess_correlated_much_smaller():
+    from epitpu.diag import ess_rank
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    chains = np.empty((2, n))
+    for c in range(2):
+        x = 0.0
+        eps = rng.normal(0.0, 1.0, n)
+        out = np.empty(n)
+        for i in range(n):
+            x = 0.95 * x + eps[i]
+            out[i] = x
+        chains[c] = out
+    e = float(ess_rank(chains))
+    # AR(0.95): ESS/N = (1-rho)/(1+rho) ~ 0.026
+    assert e < 0.12 * 2 * n, e

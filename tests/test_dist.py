@@ -289,3 +289,23 @@ def test_primary_host_single_process():
     from epitpu.dist import is_primary_host
 
     assert is_primary_host() is True
+
+
+def test_sharded_pmmh_requires_explicit_particles(sir_dataset):
+    """With particle shards, n_particles must be explicit: a silent default
+    here could diverge from particle_mcmc's own default (round-4 advisor)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+
+    y, _ = sir_dataset
+    mesh = make_mesh(n_chain_shards=1, n_particle_shards=2)
+    with pytest.raises(ValueError, match="explicit n_particles"):
+        sharded_pmmh(
+            mesh, sir_model(), get_observation_model("binomial"),
+            jax.random.PRNGKey(0), y, jnp.array([2.0, 1.0]), 0.05,
+            n_chains_total=1, n_iters=2, steps_per_unit=2,
+        )
