@@ -43,13 +43,15 @@ def save_pmmh_run(
     np.savetxt(
         os.path.join(directory, "log_likelihoods.csv"), lls, delimiter=","
     )
-    time_major = np.transpose(trajs, (1, 0, 2))  # [T, n, C]
-    for c, name in enumerate(compartment_names):
-        np.savetxt(
-            os.path.join(directory, f"sampled_trajs_{name}.csv"),
-            time_major[:, :, c],
-            delimiter=",",
-        )
+    if trajs.ndim == 3 and trajs.shape[1] > 0:
+        time_major = np.transpose(trajs, (1, 0, 2))  # [T, n, C]
+        for c, name in enumerate(compartment_names):
+            np.savetxt(
+                os.path.join(directory, f"sampled_trajs_{name}.csv"),
+                time_major[:, :, c],
+                delimiter=",",
+            )
+    # else: theta-only run (store_trajectories=False) — no history to write
     payload = dict(
         thetas=thetas, log_likelihoods=lls, sampled_trajs=trajs,
         compartment_names=np.asarray(compartment_names),

@@ -110,6 +110,7 @@ def _filter_ll_and_path(
     resample_threshold,
     resample_every,
     filter_axis_name=None,
+    store_path=True,
 ):
     k_pf, k_path = jax.random.split(key)
     res = particle_filter(
@@ -128,7 +129,14 @@ def _filter_ll_and_path(
         resample_threshold=resample_threshold,
         resample_every=resample_every,
         axis_name=filter_axis_name,
+        record_history=store_path,
     )
+    if not store_path:
+        # theta-only fast path (store_trajectories=False): no particle
+        # history was recorded and no ancestral path is sampled — the
+        # trajectory slot degenerates to a scalar dummy.  The filter's key
+        # stream is unchanged, so thetas stay bit-identical to a storing run.
+        return res.log_likelihood, jnp.zeros((), jnp.float32)
     # under conditional resampling the terminal particles carry residual
     # weights; the path's terminal draw must respect them (see sample_path)
     carried = resample_threshold < 1.0 or resample_every > 1
@@ -297,6 +305,7 @@ def particle_mcmc(
     pooled_adaptation: bool = False,
     filter_axis_name: Optional[str] = None,
     target_acceptance: Optional[float] = None,
+    store_trajectories: bool = True,
 ) -> PMMHResult:
     """Run one PMMH chain.  Mirrors ``particle_mcmc`` (reference
     pmcmc.py:251-408) with ``obs_param``/``infer_obs_param`` replacing the
@@ -348,6 +357,17 @@ def particle_mcmc(
     the log-likelihood estimate is much noisier (fewer particles).  The
     adaptation is diminishing, so the chain remains ergodic; no reference
     counterpart.
+
+    ``store_trajectories=False`` (static) is the theta-only fast path for
+    workloads that never read per-iteration trajectories (sweeps, ESS
+    studies, the efficient-frontier production preset): the filter skips
+    recording its particle history, no ancestral path is sampled, and the
+    scan does not stack a ``[T, C]`` trajectory per iteration.  The theta
+    chain is BIT-IDENTICAL to a storing run (the path key is split off
+    either way); ``sampled_trajs`` comes back ``[rows, 0, 0]`` and
+    ``final_state.trajectory`` is a scalar dummy — so forecasting from the
+    result and resuming INTO a storing run both require
+    ``store_trajectories=True``.
     """
     if pooled_adaptation:
         # a single chain has nothing to pool over; the chain-batched entry
@@ -390,6 +410,7 @@ def particle_mcmc(
         resample_threshold=resample_threshold,
         resample_every=resample_every,
         filter_axis_name=filter_axis_name,
+        store_path=store_trajectories,
     )
 
     def propose(k, center, cov, log_s=None):
@@ -508,6 +529,16 @@ def particle_mcmc(
                 jnp.minimum(1.0, jnp.exp(jnp.minimum(log_ratio, 0.0))),
                 0.0,
             )
+            for ax in pool_axes:
+                # pooled adaptation pools the controller statistic too: a
+                # PER-CHAIN scale is a death spiral for a badly-initialized
+                # chain (it starts far out, its acceptance is low, RM
+                # shrinks ITS proposals, and it can never random-walk home
+                # — measured at 512 chains x 128 particles: one outlier
+                # chain 1.6 away from the pack collapsed min-component
+                # pooled ESS 23,104 -> 797).  Sharing the mean acceptance
+                # keeps one sane scale for the whole population.
+                alpha = jax.lax.pmean(alpha, ax)
             gamma_i = jnp.power(i.astype(jnp.float32), -0.66)
             log_s = log_s + gamma_i * (alpha - target_acceptance)
         with jax.named_scope("adapt_welford"):
@@ -543,6 +574,10 @@ def particle_mcmc(
         thetas = jnp.concatenate([theta_init[None], thetas], axis=0)
         lls = jnp.concatenate([ll_init[None], lls], axis=0)
         trajs = jnp.concatenate([traj_init[None], trajs], axis=0)
+    if not store_trajectories:
+        # the scan stacked only scalar dummies; surface an unambiguous
+        # empty history instead
+        trajs = jnp.zeros((thetas.shape[0], 0, 0), jnp.float32)
     final_state = PMMHState(
         theta=theta_f,
         log_likelihood=ll_f,
@@ -571,7 +606,7 @@ _STATIC_NAMES = (
     "resample_every", "adapt_start",
     "n_init_attempts", "sampler", "segment_len", "log_every", "telemetry_fn",
     "pool_axes", "pooled_adaptation", "filter_axis_name",
-    "target_acceptance",
+    "target_acceptance", "store_trajectories",
 )
 
 
@@ -620,6 +655,7 @@ def particle_mcmc_chains(
     telemetry_fn=None,
     pooled_adaptation: bool = False,
     target_acceptance: Optional[float] = None,
+    store_trajectories: bool = True,
 ) -> PMMHResult:
     """Run ``n_chains`` independent PMMH chains vmapped on one device, as ONE
     compiled XLA program (eager dispatch through the tunneled TPU costs
@@ -658,4 +694,5 @@ def particle_mcmc_chains(
         segment_len=segment_len, log_every=log_every,
         telemetry_fn=telemetry_fn, pool_axes=pool_axes,
         target_acceptance=target_acceptance,
+        store_trajectories=store_trajectories,
     )

@@ -76,8 +76,19 @@ def particle_filter(
     sampler: str = "fast",
     resample_threshold: float = 1.0,
     resample_every: int = 1,
+    record_history: bool = True,
 ) -> FilterResult:
     """Run the bootstrap filter on observations ``y: [T, obs_dim]``.
+
+    ``record_history=False`` (static) skips the per-step stacking of the
+    particle history: ``hidden`` collapses to the initial cloud
+    ``[1, N, C]`` and ``ancestry`` to a ``[1, N]`` zero row.  Resampling,
+    weighting, and the log-likelihood are unchanged (bit-identical key
+    stream) — this is the theta-only fast path for PMMH runs that never
+    sample an ancestral trajectory (``particle_mcmc(...,
+    store_trajectories=False)``); the reference has no equivalent switch,
+    its filter always materializes ``hidden_process``/``ancestry_matrix``
+    (reference pmcmc.py:146-152).
 
     ``theta`` is the model's flat parameter vector; ``obs_param`` the (traced)
     observation parameter (reporting probability or noise level).  ``x0`` may
@@ -236,7 +247,8 @@ def particle_filter(
             x_new = advance(
                 model, k_prop, x_res, theta, 1.0, steps_per_unit, sampler
             )
-        return (x_new, lw_next, log_z, degen | step_degen), (x_new, anc, log_z)
+        out = (x_new, anc, log_z) if record_history else (log_z,)
+        return (x_new, lw_next, log_z, degen | step_degen), out
 
     keys = jax.random.split(key_scan, t_len - 1)
     # resample on every k-th observation step (p = 0 is the first scan step)
@@ -247,14 +259,20 @@ def particle_filter(
     # (dynamic-update-slice of hidden/ancestry history) in profile
     # attribution; every op inside the body keeps its finer pf_* scope
     with jax.named_scope("pf_scan"):
-        (_, lw_final, log_z, degen), (xs, ancs, log_zs) = jax.lax.scan(
+        (_, lw_final, log_z, degen), outs = jax.lax.scan(
             step, init, (y[: t_len - 1], keys, schedule)
         )
 
-    hidden = jnp.concatenate([x0[None], xs], axis=0)
-    ancestry = jnp.concatenate(
-        [jnp.zeros((1, n_particles), jnp.int32), ancs], axis=0
-    )
+    if record_history:
+        xs, ancs, log_zs = outs
+        hidden = jnp.concatenate([x0[None], xs], axis=0)
+        ancestry = jnp.concatenate(
+            [jnp.zeros((1, n_particles), jnp.int32), ancs], axis=0
+        )
+    else:
+        (log_zs,) = outs
+        hidden = x0[None]
+        ancestry = jnp.zeros((1, n_particles), jnp.int32)
     log_zetas = jnp.concatenate([jnp.zeros((1,), jnp.float32), log_zs], axis=0)
     return FilterResult(
         log_likelihood=log_z,

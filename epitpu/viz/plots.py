@@ -331,13 +331,16 @@ def plot_pmmh_suite(
     paths.append(pair_plot(th, directory, theta_names))
     paths.append(kde_pair_plot(th, directory, theta_names))
     paths.append(likelihood_plot(np.asarray(result.log_likelihoods), directory))
-    paths.append(
-        trajectory_fan(
-            np.asarray(result.sampled_trajs)[burn_in:],
-            directory,
-            observed=observed,
-            latent_truth=latent_truth,
-            compartment_names=compartment_names,
+    trajs = np.asarray(result.sampled_trajs)
+    if trajs.ndim == 3 and trajs.shape[1] > 0:
+        paths.append(
+            trajectory_fan(
+                trajs[burn_in:],
+                directory,
+                observed=observed,
+                latent_truth=latent_truth,
+                compartment_names=compartment_names,
+            )
         )
-    )
+    # else: theta-only run (store_trajectories=False) — no trajectory fan
     return paths

@@ -268,3 +268,32 @@ def test_resample_every_composes_with_threshold(sir_dataset):
     identity_rows = np.array([(row == iota).all() for row in anc])
     # every odd scan step is schedule-skipped
     assert identity_rows[(np.arange(1, y.shape[0]) % 2) != 0].all()
+
+
+def test_record_history_off_same_loglik(sir_dataset):
+    """record_history=False must not perturb the filter's randomness or
+    likelihood — it only skips the hidden/ancestry stacking."""
+    import jax
+
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.smc import particle_filter
+
+    y, _ = sir_dataset
+    model, obs = sir_model(), get_observation_model("binomial")
+    import jax.numpy as jnp
+
+    def run(record):
+        return particle_filter(
+            model, obs, jax.random.PRNGKey(3), y,
+            jnp.array([2.0, 1.0]), 0.1, n_particles=64, steps_per_unit=4,
+            record_history=record,
+        )
+
+    full = jax.jit(lambda: run(True))()
+    fast = jax.jit(lambda: run(False))()
+    assert float(full.log_likelihood) == float(fast.log_likelihood)
+    assert fast.hidden.shape == (1, 64, 3)
+    assert fast.ancestry.shape == (1, 64)
+    assert np.array_equal(np.asarray(full.log_zetas[-1:]),
+                          np.asarray(fast.log_zetas[-1:]))
