@@ -178,7 +178,20 @@ def main():
     # sd(logZ)=0.19 there, far below the ~1.5 pseudo-marginal noise
     # ceiling), and at that point CHAINS are nearly free: 512 chains x
     # 128 particles measured 8,069 +/- 107 ESS/s and ~90k aggregate
-    # iters/s on one chip (1024 chains saturates).  Reported as eff_*.
+    # iters/s on one chip (round 4).  Since round 5 this configuration is
+    # PRODUCTIZED as the CLI `production` preset, and this section runs
+    # exactly that preset's sampler settings: pooled adaptation at h=0.6
+    # with store_trajectories=False (theta-only fast path — no filter
+    # history, no path sampling, no trajectory stacking).  The Robbins-
+    # Monro target-acceptance controller is deliberately NOT part of this
+    # configuration: at 512 chains it raises realized acceptance 0.31 ->
+    # 0.42 (smaller steps), and a rare badly-initialized outlier chain
+    # then cannot random-walk home within the window, collapsing
+    # min-component pooled ESS (measured 23,104 -> 797 on one seed;
+    # ESS_STUDY.json chain_scaling_at_eff note).
+    # eff_ess_per_s is the PRIMARY ESS/s metric (duplicated as ess_per_s);
+    # the 4096-particle baseline-shape number stays alongside as
+    # baseline_ess_per_s for cross-round continuity.
     n_eff_particles = int(os.environ.get("BENCH_EFF_PARTICLES", "128"))
     n_eff_chains = int(os.environ.get("BENCH_EFF_CHAINS", "512"))
     if os.environ.get("BENCH_SKIP_EFF"):
@@ -193,6 +206,7 @@ def main():
                 sampler=sampler, resampling=resampling,
                 resample_every=resample_every, adaptive=True,
                 adapt_start=16, pooled_adaptation=True,
+                store_trajectories=False,
             )
 
         r4 = run_eff(jax.random.PRNGKey(0), n_iters_tuned)
@@ -235,8 +249,12 @@ def main():
         "value": round(iters_per_s, 2),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / per_chip_target, 3),
-        "ess_per_s": round(ess_per_s, 2),
-        "ess_min_component": round(ess_min, 1),
+        # PRIMARY ESS/s = the productized efficient-frontier configuration
+        # (the `production` CLI preset); baseline_* keeps the 4096-particle
+        # baseline-shape ESS/s for cross-round continuity
+        "ess_per_s": eff.get("eff_ess_per_s", round(ess_per_s, 2)),
+        "baseline_ess_per_s": round(ess_per_s, 2),
+        "baseline_ess_min_component": round(ess_min, 1),
         "elapsed_s": round(elapsed, 3),
         **tuned,
         **eff,

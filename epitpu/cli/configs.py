@@ -64,6 +64,17 @@ class MCMCConfig:
     # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
     # or "exact" (jax.random.binomial, validation runs)
     sampler: str = "fast"
+    # pool the adaptive-proposal Welford statistics across ALL parallel
+    # chains via collectives each iteration (epitpu.mcmc.adaptive.Welford
+    # .pooled) — many cheap chains then share one well-estimated covariance.
+    # This is half of the efficient-frontier production configuration
+    # (BENCH eff_* section / ESS_STUDY.json); no reference counterpart.
+    pooled_adaptation: bool = False
+    # False: theta-only fast path — the filter records no particle history,
+    # no ancestral path is sampled, and no [T, C] trajectory is stacked per
+    # iteration.  Theta chains are bit-identical to a storing run; forecast
+    # and trajectory plots/CSVs require True.
+    store_trajectories: bool = True
     # emit the reference-style live telemetry line (iter, acceptance ratio,
     # theta, log zeta) every K iterations from inside the compiled scan
     # (reference pmcmc.py:320-321, 405-406); many-chain runs stream a

@@ -131,6 +131,7 @@ def sharded_pmmh(
     h,
     n_chains_total: int,
     pooled_adaptation: bool = False,
+    return_shard_check: bool = False,
     **kwargs,
 ):
     """Run ``n_chains_total`` independent PMMH chains sharded over the
@@ -150,6 +151,14 @@ def sharded_pmmh(
     along the particle axis).  With ``pooled_adaptation`` the adaptive
     proposal covariance pools Welford statistics across ALL chains via
     collectives each iteration.
+
+    ``return_shard_check=True`` additionally returns the theta chains
+    all-gathered over the PARTICLE axis, shape ``[p_shards, chains, rows,
+    d]`` — every particle shard of a chain must hold the bit-identical
+    chain state (the replication invariant the design depends on: chain
+    keys are replicated along the particle axis, only the filter's cloud is
+    sharded).  A misplaced collective breaks exactly this;
+    ``__graft_entry__.dryrun_multichip`` asserts it on every run.
     """
     n_shards = mesh.shape[CHAIN_AXIS]
     if n_chains_total % n_shards:
@@ -196,14 +205,23 @@ def sharded_pmmh(
             pool_axes=pool_axes,
             **kwargs,
         )
-        return jax.vmap(run, axis_name="chain_vmap")(keys)
+        res = jax.vmap(run, axis_name="chain_vmap")(keys)
+        if return_shard_check:
+            per_shard = jax.lax.all_gather(res.thetas, PARTICLE_AXIS)
+            return res, per_shard
+        return res
 
     keys = jax.random.split(key, n_chains_total)
+    out_specs = (
+        (P(CHAIN_AXIS), P(None, CHAIN_AXIS))
+        if return_shard_check
+        else P(CHAIN_AXIS)
+    )
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(CHAIN_AXIS),),
-        out_specs=P(CHAIN_AXIS),
+        out_specs=out_specs,
         check_vma=False,
     )
     if jax.process_count() > 1:

@@ -67,7 +67,7 @@ RNG_OP_RE = re.compile(
 
 def build_workload(n_chains, n_iters, n_particles, sampler, steps_per_unit,
                    resample_threshold=1.0, resample_every=1, adaptive=False,
-                   adapt_start=10**9, h=0.05):
+                   adapt_start=10**9, h=0.05, store_trajectories=True):
     """The exact bench.py workload, returned as (jitted fn, args)."""
     import jax
     import jax.numpy as jnp
@@ -96,6 +96,7 @@ def build_workload(n_chains, n_iters, n_particles, sampler, steps_per_unit,
             mu=20.0, steps_per_unit=steps_per_unit, n_init_attempts=2,
             sampler=sampler, resample_threshold=resample_threshold,
             resample_every=resample_every,
+            store_trajectories=store_trajectories,
         )
         return jax.vmap(f)(keys).thetas
 
@@ -210,6 +211,9 @@ def main():
     ap.add_argument("--sampler", default="fast_rbg")
     ap.add_argument("--resample-threshold", type=float, default=1.0)
     ap.add_argument("--resample-every", type=int, default=1)
+    ap.add_argument("--no-store-trajectories", action="store_true",
+                    help="theta-only fast path (production preset): no "
+                    "filter history, no path sampling, no traj stacking")
     ap.add_argument("--out", default="PROFILE_insitu.json")
     args = ap.parse_args()
 
@@ -219,6 +223,7 @@ def main():
     fn, keys = build_workload(
         args.chains, args.iters, args.particles, args.sampler,
         args.steps_per_unit, args.resample_threshold, args.resample_every,
+        store_trajectories=not args.no_store_trajectories,
     )
     print("lowering...", flush=True)
     lowered = fn.lower(keys)
@@ -262,6 +267,7 @@ def main():
             "steps_per_unit": args.steps_per_unit,
             "resample_threshold": args.resample_threshold,
             "resample_every": args.resample_every,
+            "store_trajectories": not args.no_store_trajectories,
         },
         "total_device_us": round(total_us, 1),
         "wall_s": round(wall_s, 3),
