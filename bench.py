@@ -170,15 +170,16 @@ def main():
             ),
         }
 
-    # EFFICIENT-ESS configuration (round-4 sweeps, ESS_STUDY.json
-    # particle_sweep + chain_scaling_at_eff): the BASELINE secondary
-    # metric (ESS/s) names no particle count, and the pseudo-marginal
-    # sampler is EXACT at any N — ESS/s rises monotonically as N falls
-    # until the per-iteration time goes latency-bound (N<=128;
-    # sd(logZ)=0.19 there, far below the ~1.5 pseudo-marginal noise
-    # ceiling), and at that point CHAINS are nearly free: 512 chains x
-    # 128 particles measured 8,069 +/- 107 ESS/s and ~90k aggregate
-    # iters/s on one chip (round 4).  Since round 5 this configuration is
+    # EFFICIENT-ESS configuration (ESS_STUDY.json frontier): the BASELINE
+    # secondary metric (ESS/s) names no particle count, and the pseudo-
+    # marginal sampler is EXACT at any N, so the frontier question is
+    # purely mixing-vs-throughput.  Round 4's particle sweep (fixed 32
+    # chains, latency-floored) stopped at 512x128 = 8,069 ESS/s; round 5's
+    # JOINT (chains x particles) sweep found the chip compute-bound at
+    # production chain counts with the stable optimum at 2048 chains x 16
+    # particles: 34,657 +/- 1,103 ESS/s, ~537k aggregate iters/s
+    # (sd(logZ)=0.71, acceptance 0.26; N=8 and chains >= 3072 go
+    # seed-unstable via outlier-init chains).  This configuration is
     # PRODUCTIZED as the CLI `production` preset, and this section runs
     # exactly that preset's sampler settings: pooled adaptation at h=0.6
     # with store_trajectories=False (theta-only fast path — no filter
@@ -192,8 +193,8 @@ def main():
     # eff_ess_per_s is the PRIMARY ESS/s metric (duplicated as ess_per_s);
     # the 4096-particle baseline-shape number stays alongside as
     # baseline_ess_per_s for cross-round continuity.
-    n_eff_particles = int(os.environ.get("BENCH_EFF_PARTICLES", "128"))
-    n_eff_chains = int(os.environ.get("BENCH_EFF_CHAINS", "512"))
+    n_eff_particles = int(os.environ.get("BENCH_EFF_PARTICLES", "16"))
+    n_eff_chains = int(os.environ.get("BENCH_EFF_CHAINS", "2048"))
     if os.environ.get("BENCH_SKIP_EFF"):
         eff = {}
     else:

@@ -64,6 +64,12 @@ class MCMCConfig:
     # bits — same law, ~1.3x faster propagation on TPU, see PROFILE.json),
     # or "exact" (jax.random.binomial, validation runs)
     sampler: str = "fast"
+    # not None: SELF-SIZE the particle count before the run — double from
+    # 16 until the PF log-likelihood sd at theta0 drops under this target
+    # (the pseudo-marginal tuning rule, sd(logZ) ~ 1; epitpu.smc
+    # .tune_particles).  Overrides n_particles with the measured choice,
+    # recorded in the report.  The reference hand-picks 100 everywhere.
+    auto_particles: Optional[float] = None
     # pool the adaptive-proposal Welford statistics across ALL parallel
     # chains via collectives each iteration (epitpu.mcmc.adaptive.Welford
     # .pooled) — many cheap chains then share one well-estimated covariance.

@@ -316,6 +316,33 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
             else float(m.mu)
         )
 
+    n_particles = m.n_particles
+    tuned_sd = None
+    if m.auto_particles is not None:
+        # self-size N by the pseudo-marginal rule (sd(logZ) <= target at
+        # theta0) instead of trusting a hand-picked constant; see
+        # epitpu.smc.tune_particles
+        from ..smc import tune_particles
+
+        theta_probe = jnp.asarray(theta0, jnp.float32)
+        if m.infer_obs_param:
+            probe_model_theta, probe_obs = theta_probe[:-1], float(theta_probe[-1])
+        else:
+            probe_model_theta, probe_obs = theta_probe, cfg.data.obs_param
+        n_particles, tuned_sd = tune_particles(
+            model, obs, jax.random.PRNGKey(cfg.seed + 4), jnp.asarray(y),
+            probe_model_theta, probe_obs,
+            target_sd=float(m.auto_particles),
+            n_population=n_population, mu=mu,
+            steps_per_unit=m.steps_per_unit, sampler=m.sampler,
+            resample_every=m.resample_every,
+            resample_threshold=m.resample_threshold,
+        )
+        if verbose:
+            print(f"[pmmh] {cfg.name}: auto_particles -> N={n_particles} "
+                  f"(sd(logZ)={tuned_sd:.2f} <= {m.auto_particles})",
+                  flush=True)
+
     common = dict(
         n_chains=m.n_chains,
         adaptive=m.adaptive,
@@ -324,7 +351,7 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         n_iters=m.n_iters,
         obs_param=cfg.data.obs_param,
         infer_obs_param=m.infer_obs_param,
-        n_particles=m.n_particles,
+        n_particles=n_particles,
         n_population=n_population,
         mu=mu,
         steps_per_unit=m.steps_per_unit,
@@ -387,6 +414,8 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
     report = {
         "name": cfg.name,
         "iters_total": total_iters,
+        "n_particles": n_particles,
+        **({"auto_particles_sd": tuned_sd} if tuned_sd is not None else {}),
         "seconds": elapsed,
         "iters_per_s": total_iters / elapsed,
         "acceptance": [
@@ -600,6 +629,7 @@ def run_sweep(sweep_name, cfgs, verbose=True):
             "name": cfg.name,
             # the swept value is the name suffix the sweep generator appends
             "level": cfg.name.rsplit("_", 1)[-1],
+            "n_particles": report.get("n_particles"),
             "theta_true": true,
             "pmse": pmse,
             "pmse_mean": float(np.mean(pmse)),
@@ -650,23 +680,29 @@ PRESETS = {
         data=DataConfig(observation="binomial", obs_param=0.1),
         mcmc=MCMCConfig(n_iters=1000, h=0.05, n_particles=100, n_chains=3),
     ),
-    # the efficient-frontier configuration, productized (round-4 judge item
-    # #1): 512 chains x 128 particles with pooled adaptation (h=0.6 on the
-    # pooled covariance), resample_every=4, hardware-RNG tau-leap,
-    # theta-only fast path.  No target-acceptance controller here: at this
-    # chain count it shrinks steps (acc 0.31 -> 0.42) and a rare outlier
-    # init then can't walk home within the run, collapsing min-component
-    # ESS (ESS_STUDY.json chain_scaling_at_eff) — the fixed h=0.6 pooled
-    # scale is the long-run-measured optimum and robust across seeds.  The pseudo-marginal sampler is exact at ANY
-    # particle count; the round-4 sweeps (ESS_STUDY.json particle_sweep +
-    # chain_scaling_at_eff, BENCH eff_*) measured 8,059 ESS/s here vs ~90
-    # at the 32x4096 baseline shape — 90x more posterior per second on the
-    # same chip.  This is the preset production inference should use.
+    # the efficient-frontier configuration, productized: 2048 chains x 16
+    # particles with pooled adaptation (h=0.6 on the pooled covariance),
+    # resample_every=4, hardware-RNG tau-leap, theta-only fast path.  The
+    # pseudo-marginal sampler is exact at ANY particle count (unbiased
+    # logZ), so small N costs only mixing — and the round-5 JOINT
+    # (chains x particles) sweep (ESS_STUDY.json frontier) measured
+    # 34,657 +/- 1,103 ESS/s and ~537k aggregate PMMH iters/s here on one
+    # chip (sd(logZ)=0.71, acceptance 0.26) vs ~90 ESS/s at the 32x4096
+    # baseline shape — ~380x more posterior per second on the same chip.
+    # This is the highest STABLE cell: N=8 (sd(logZ)~1.6) and chains >=
+    # 3072 go seed-unstable via outlier-init chains.  No target-acceptance
+    # controller here: at production chain counts it shrinks steps and a
+    # rare outlier init then can't walk home within the run, collapsing
+    # min-component ESS (chain_scaling_at_eff note) — the fixed pooled
+    # h=0.6 is the long-run-measured optimum and robust across seeds.
+    # This is the preset production inference should use; REPRO.md's
+    # equivalence table shows it reproduces the faithful reference
+    # posteriors level-for-level.
     "production": lambda: ExperimentConfig(
         name="production",
         data=DataConfig(observation="binomial", obs_param=0.1),
         mcmc=MCMCConfig(
-            n_iters=2000, h=0.6, n_particles=128, n_chains=512,
+            n_iters=2000, h=0.6, n_particles=16, n_chains=2048,
             adaptive=True, adapt_start=16, pooled_adaptation=True,
             resample_every=4, sampler="fast_rbg",
             store_trajectories=False,
@@ -766,6 +802,12 @@ def main(argv=None):
         "standard SMC choice, lower-variance likelihood estimate)",
     )
     ap.add_argument(
+        "--auto-particles", type=float, default=None, metavar="SD",
+        help="self-size the particle count before the run: double N from "
+        "16 until the PF log-likelihood sd at theta0 drops under SD (the "
+        "pseudo-marginal rule, ~1.0; overrides --particles)",
+    )
+    ap.add_argument(
         "--target-acceptance", type=float, default=None, metavar="A",
         help="Robbins-Monro self-tuning of the proposal scale toward this "
         "realized acceptance rate (ESS_STUDY.json: ~0.35 is the ESS/s "
@@ -859,6 +901,8 @@ def _apply_overrides(cfg, args):
         cfg.plot_particles = True
     if args.target_acceptance is not None:
         cfg.mcmc.target_acceptance = args.target_acceptance
+    if args.auto_particles is not None:
+        cfg.mcmc.auto_particles = args.auto_particles
     if args.forecast is not None:
         cfg.forecast_horizon = args.forecast
     if args.warm_start is not None:

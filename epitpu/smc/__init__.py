@@ -1,5 +1,6 @@
 from .filter import FilterResult, particle_filter, particle_filter_jit
 from .paths import sample_path
+from .tune import tune_particles
 from .resample import (
     get_resampler,
     multinomial_resample,
@@ -13,6 +14,7 @@ __all__ = [
     "particle_filter",
     "particle_filter_jit",
     "sample_path",
+    "tune_particles",
     "get_resampler",
     "multinomial_resample",
     "normalized_weights",

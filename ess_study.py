@@ -381,6 +381,142 @@ def chain_scaling():
     print(json.dumps(doc["chain_scaling_at_eff"]["best"]))
 
 
+def frontier():
+    """Joint (chains x particles) frontier sweep — round 5's discovery that
+    the round-4 particle sweep UNDERSHOT the frontier: it fixed 32 chains,
+    where per-iteration latency floors N<=128, but at production chain
+    counts the chip is compute-bound and the optimum keeps moving down in
+    N.  The pseudo-marginal sampler is exact at ANY particle count
+    (unbiased logZ), so the only cost of small N is mixing (acceptance),
+    and at sd(logZ) ~ 0.7 that cost is tiny.  Writes ESS_STUDY.json
+    `frontier`: per (chains, N), 3-seed mean +/- sd ESS/s, iters/s,
+    acceptance.  Measured map (512-iter windows): the stable peak is
+    2048 chains x 16 particles; N=8 (sd(logZ)=1.6) and chains >= 3072
+    at N=16 go unstable — occasional outlier-init chains collapse the
+    min-component ESS (the same mechanism as the chain_scaling_at_eff
+    note)."""
+    import epitpu
+
+    epitpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.diag import ess
+    from epitpu.mcmc import particle_mcmc_chains
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.ode import sir_simulate_discrete
+    from epitpu.smc import particle_filter
+
+    n_iters = int(os.environ.get("ESS_STUDY_ITERS", "512"))
+    burn = max(1, n_iters // 8)
+    seeds = (1, 2, 3)
+
+    t = np.linspace(0, 14, 100)
+    df = sir_simulate_discrete((4800.0, 20.0, 0.0), t, 2.0, 1.0)
+    latent = df[["susceptible", "infected", "removed"]].to_numpy()
+    rng = np.random.default_rng(42)
+    y = jnp.asarray(
+        rng.binomial(np.round(latent).astype(int), 0.1).astype(np.float32)
+    )
+    model = sir_model()
+    obs = get_observation_model("binomial")
+
+    def logz_sd(n_particles):
+        f = lambda k: particle_filter(
+            model, obs, k, y, jnp.array([2.0, 1.0]), 0.1,
+            n_particles=n_particles, n_population=4820, mu=20.0,
+            steps_per_unit=20, sampler="fast_rbg", resample_every=4,
+        ).log_likelihood
+        lls = np.asarray(jax.jit(jax.vmap(f))(
+            jax.random.split(jax.random.PRNGKey(7), 64)
+        ))
+        return float(lls.std(ddof=1))
+
+    def run(seed, n_chains, n_particles):
+        return particle_mcmc_chains(
+            model, obs, jax.random.PRNGKey(seed), y,
+            jnp.array([2.0, 1.0]), 0.6,
+            n_chains=n_chains, n_iters=n_iters, obs_param=0.1,
+            n_particles=n_particles, n_population=4820, mu=20.0,
+            steps_per_unit=20, n_init_attempts=2, sampler="fast_rbg",
+            resample_every=4, adaptive=True, adapt_start=16,
+            pooled_adaptation=True, store_trajectories=False,
+        )
+
+    grid = [
+        (512, 128), (512, 64), (512, 32),
+        (1024, 64), (1024, 32), (1024, 16),
+        (2048, 32), (2048, 16), (2048, 8),
+        (3072, 16), (4096, 16),
+    ]
+    rows = []
+    for n_chains, n_particles in grid:
+        np.asarray(run(0, n_chains, n_particles).thetas)  # compile
+        per_seed = []
+        for seed in seeds:
+            t0 = time.perf_counter()
+            r = run(seed, n_chains, n_particles)
+            th = np.asarray(r.thetas)
+            wall = time.perf_counter() - t0
+            e = float(np.min(ess(th[:, burn:, :])))
+            per_seed.append({
+                "seed": seed, "wall_s": round(wall, 3),
+                "ess_per_s": round(e / wall, 2),
+                "iters_per_s": round(n_chains * n_iters / wall, 1),
+                "acceptance": round(
+                    float(np.asarray(r.acceptances).mean()) / n_iters, 3
+                ),
+            })
+        ess_ps = np.array([s["ess_per_s"] for s in per_seed])
+        rows.append({
+            "chains": n_chains,
+            "n_particles": n_particles,
+            "logz_sd_at_truth": round(logz_sd(n_particles), 3),
+            "ess_per_s_mean": round(float(ess_ps.mean()), 2),
+            "ess_per_s_sd": round(float(ess_ps.std(ddof=1)), 2),
+            "iters_per_s_mean": round(
+                float(np.mean([s["iters_per_s"] for s in per_seed])), 1
+            ),
+            "acceptance_mean": round(
+                float(np.mean([s["acceptance"] for s in per_seed])), 3
+            ),
+            "seeds": per_seed,
+        })
+        print(f"[ess_study] chains={n_chains} N={n_particles}: "
+              f"{rows[-1]['ess_per_s_mean']} +/- {rows[-1]['ess_per_s_sd']} "
+              f"ESS/s, {rows[-1]['iters_per_s_mean']} iters/s, "
+              f"acc {rows[-1]['acceptance_mean']}", flush=True)
+
+    doc = {}
+    if os.path.exists("ESS_STUDY.json"):
+        with open("ESS_STUDY.json") as f:
+            doc = json.load(f)
+    # "stable best": highest mean whose seed spread is under 20% of the mean
+    stable = [r for r in rows if r["ess_per_s_sd"] < 0.2 * r["ess_per_s_mean"]]
+    best = max(stable or rows, key=lambda r: r["ess_per_s_mean"])
+    doc["frontier"] = {
+        "iters": n_iters, "arm": "adaptive_h0.6_nostore", "rows": rows,
+        "best_stable": {
+            "chains": best["chains"], "n_particles": best["n_particles"],
+            "ess_per_s": best["ess_per_s_mean"],
+            "iters_per_s": best["iters_per_s_mean"],
+        },
+        "note": (
+            "Joint (chains, particles) sweep at the production arm; the "
+            "round-4 particle sweep fixed 32 chains (latency-floored) and "
+            "stopped at N=128 — at compute-bound chain counts the frontier "
+            "keeps moving down in N.  best_stable = highest mean ESS/s with "
+            "seed sd < 20% of mean (unstable cells are outlier-init chain "
+            "collapses: N=8 where sd(logZ)~1.6, and chains >= 3072 at "
+            "N=16)."
+        ),
+    }
+    with open("ESS_STUDY.json", "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc["frontier"]["best_stable"]))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -388,5 +524,7 @@ if __name__ == "__main__":
         particle_sweep()
     elif "--chains" in sys.argv:
         chain_scaling()
+    elif "--frontier" in sys.argv:
+        frontier()
     else:
         main()

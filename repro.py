@@ -308,10 +308,10 @@ def main():
     do_sweep("noise", mutate=_selftune, tag="noise_selftuned")
 
     # the same noise grid at the PRODUCTIZED efficient-frontier
-    # configuration (the CLI `production` preset, round-4 judge item #1):
-    # 512 chains x 128 particles, pooled adaptation + target acceptance,
+    # configuration (the CLI `production` preset): 2048 chains x 16
+    # particles, pooled adaptation at h=0.6,
     # resample_every=4, theta-only fast path.  512 iterations suffice —
-    # 512 chains x 512 iters is 262k chain-iterations per level, and the
+    # 2048 chains x 512 iters is 1.05M chain-iterations per level, and the
     # pseudo-marginal sampler is exact at any particle count, so the
     # posterior must match the faithful stage within MC error while the
     # rank-ESS per wall-second is orders of magnitude higher.  The
@@ -319,8 +319,16 @@ def main():
     # per-parameter HDI overlap and PMSE level by level.
     def _production(c):
         m = c.mcmc
-        m.n_chains = 8 if SMOKE else 512
-        m.n_particles = 16 if SMOKE else 128
+        m.n_chains = 8 if SMOKE else 2048
+        # self-sized per level by the pseudo-marginal rule: sd(logZ) <= 1
+        # at theta0 (epitpu.smc.tune_particles).  The flagship binomial
+        # workload lands on the frontier's N=16; the low-noise Gaussian
+        # levels genuinely need more particles (their weights are sharper
+        # -> logZ noisier at fixed N) and get them automatically --
+        # round 5 measured acceptance collapsing to 0.05 and R-hat 1.19
+        # at the noise=0.05 level when N was pinned to 16
+        m.auto_particles = None if SMOKE else 1.0
+        m.n_particles = 8 if SMOKE else 16
         m.n_iters = 60 if SMOKE else 512
         m.h = 0.6
         m.adapt_start = 16
@@ -584,7 +592,7 @@ def write_report(out):
             "The pseudo-marginal sampler targets the EXACT posterior at any "
             "particle count, so the faithful `noise` stage (6,000 iters x 3 "
             "chains x 100 particles, reference h=10) and the "
-            "`noise_production` stage (512 chains x 128 particles, pooled "
+            "`noise_production` stage (2048 chains x 16 particles, pooled "
             "adaptation + target acceptance — the CLI `production` preset) "
             "must agree.  Level-by-level:",
             "",

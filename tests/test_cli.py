@@ -422,8 +422,8 @@ def test_production_preset_theta_only(tmp_path):
     no trajectory CSVs, and a valid posterior summary."""
     cfg = PRESETS["production"]()
     m = cfg.mcmc
-    assert (m.n_chains, m.n_particles) == (512, 128)
-    assert m.pooled_adaptation and m.target_acceptance == 0.35
+    assert (m.n_chains, m.n_particles) == (2048, 16)
+    assert m.pooled_adaptation and m.h == 0.6
     assert m.resample_every == 4 and not m.store_trajectories
     # shrink for CI but keep the sampler semantics
     m.n_iters, m.n_chains, m.n_particles, m.steps_per_unit = 40, 4, 16, 5
@@ -475,3 +475,24 @@ def test_repro_forecast_stage_smoke(tmp_path, monkeypatch):
     assert set(cov) == {"susceptible", "infected", "removed"}
     assert all(0.0 <= v <= 1.0 for v in cov.values())
     assert os.path.exists(lv["fan_plot"])
+
+
+def test_auto_particles_wiring(tmp_path, monkeypatch):
+    """mcmc.auto_particles self-sizes N before the run and records the
+    choice in the report."""
+    import epitpu.mcmc as mcmc
+
+    captured = {}
+    orig = mcmc.particle_mcmc_chains
+
+    def spy(*args, **kwargs):
+        captured["n_particles"] = kwargs["n_particles"]
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mcmc, "particle_mcmc_chains", spy)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.mcmc.auto_particles = 2.0  # loose target: small N suffices
+    _, report = run_experiment(cfg, verbose=False)
+    assert report["n_particles"] == captured["n_particles"]
+    assert report["n_particles"] >= 16
+    assert report["auto_particles_sd"] <= 2.0 or report["n_particles"] == 4096

@@ -297,3 +297,39 @@ def test_record_history_off_same_loglik(sir_dataset):
     assert fast.ancestry.shape == (1, 64)
     assert np.array_equal(np.asarray(full.log_zetas[-1:]),
                           np.asarray(fast.log_zetas[-1:]))
+
+
+def test_tune_particles_scales_with_information(sir_dataset):
+    """The self-sizing rule picks more particles when observations are
+    sharper (lower Gaussian noise -> sharper weights -> noisier logZ at
+    fixed N), and the returned sd meets the target."""
+    import jax
+    import jax.numpy as jnp
+
+    from epitpu.cli.run import generate_dataset
+    from epitpu.cli.configs import DataConfig, ExperimentConfig
+    from epitpu.models import sir_model
+    from epitpu.observe import get_observation_model
+    from epitpu.smc import tune_particles
+
+    model = sir_model()
+    obs = get_observation_model("gaussian")
+    theta = jnp.array([2.0, 1.0])
+
+    def pick(noise):
+        cfg = ExperimentConfig(
+            data=DataConfig(observation="gaussian", obs_param=noise, t_max=10)
+        )
+        y, _ = generate_dataset(cfg)
+        n, sd = tune_particles(
+            model, obs, jax.random.PRNGKey(0), jnp.asarray(y), theta,
+            noise, target_sd=1.0, n_reps=12, start=8, max_particles=512,
+            steps_per_unit=5,
+        )
+        return n, sd
+
+    n_sharp, sd_sharp = pick(0.05)
+    n_noisy, sd_noisy = pick(0.3)
+    assert n_sharp >= n_noisy, (n_sharp, n_noisy)
+    assert sd_noisy <= 1.0
+    assert sd_sharp <= 1.0 or n_sharp == 512
