@@ -44,10 +44,11 @@ SWEEP_ITERS = 60 if SMOKE else 6000
 SEIR_ITERS = 60 if SMOKE else 1000
 INFERP_ITERS = 60 if SMOKE else 5000
 # the reference's subgroup drivers run 1,000 iterations single-chain
-# (test_pmcmc_sir_subgrps.py:37) with no convergence diagnostics; 4x that
+# (test_pmcmc_sir_subgrps.py:37) with no convergence diagnostics; 8x that
 # here because the 5-parameter beta matrix mixes slowly (1,000 iters x 3
-# chains measured R-hat ~2) and this study REPORTS R-hat/ESS per run
-SUBGRP_ITERS = 60 if SMOKE else 4000
+# chains measured R-hat ~2; 4,000 left the per-group variant at rank
+# R-hat 1.12 / min rank ESS 23) and this study REPORTS R-hat/ESS per run
+SUBGRP_ITERS = 60 if SMOKE else 8000
 CHAINS = 3
 PARTICLES = 16 if SMOKE else 100
 CHECKPOINT_EVERY = 0 if SMOKE else 1500
@@ -63,6 +64,17 @@ def _configure(cfg):
     cfg.mcmc.n_chains = CHAINS
     cfg.mcmc.n_particles = PARTICLES
     cfg.mcmc.adaptive = True  # every reference experiment driver adapts
+    if cfg.mcmc.infer_obs_param:
+        # 3-component theta with p on a [0,1] scale: the preset's fixed
+        # h=0.02 realizes acceptance ~0.49 (steps too small, rank R-hat
+        # 1.18 / min rank ESS 15 at 5,000 iters).  On-chip tuning study:
+        # the RM controller is HARMFUL here across seeds (target 0.35 at
+        # h in {0.1, 0.3}: rank R-hat 1.24-1.87 — p's narrow scale fights
+        # the acceptance target), while POOLED covariance adaptation at
+        # fixed h=0.1 is robust: rank R-hat 1.007-1.021, min rank ESS
+        # 249-350 over 4 seeds
+        cfg.mcmc.pooled_adaptation = True
+        cfg.mcmc.h = 0.1
     if cfg.model == "seir":
         # the reference's SEIR driver warm-starts an adapted Sigma from a
         # previous run with h=4 (test_pmcmc_seir.py:26-30); this study runs
@@ -461,15 +473,20 @@ def write_report(out):
     ]
     for s in out["stages"]:
         if s["kind"] == "sweep":
+            part = (
+                "auto-sized particles (sd(logZ) <= 1 rule)"
+                if s["stage"] == "noise_production"
+                else f"{s['particles']} particles each"
+            )
             lines += [
                 f"## Sweep `{s['stage']}` — {s['n_levels']} levels, "
                 f"{s['iters']:,} iters x {s['chains']} chains x "
-                f"{s['particles']} particles each, {s['wall_s']:.1f} s total",
+                f"{part}, {s['wall_s']:.1f} s total",
                 "",
-                "| level | posterior (mean [95% HDI]) | PMSE (mean) | "
+                "| level | N | posterior (mean [95% HDI]) | PMSE (mean) | "
                 "max R-hat (cl/rank) | min ESS (cl/rank) | accept | conv | "
                 "wall (s) |",
-                "|---|---|---|---|---|---|---|---|",
+                "|---|---|---|---|---|---|---|---|---|",
             ]
             any_unconverged = False
             for lv in s["levels"]:
@@ -480,8 +497,10 @@ def write_report(out):
                 conv = lv.get("converged")
                 conv_s = "yes" if conv else ("**NO**" if conv is not None else "-")
                 any_unconverged |= conv is False
+                n_p = lv.get("n_particles") or s["particles"]
                 lines.append(
-                    f"| {lv['level']} | {_fmt_summary(lv['summary'])} | "
+                    f"| {lv['level']} | {n_p} | "
+                    f"{_fmt_summary(lv['summary'])} | "
                     f"{lv['pmse_mean']:.4f} | {rhat:.3f}/{rhat_r:.3f} | "
                     f"{essv:.0f}/{ess_r:.0f} | "
                     f"{_acc(lv['acceptance']):.3f} | {conv_s} | "
