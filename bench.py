@@ -252,8 +252,11 @@ def main():
         "vs_baseline": round(iters_per_s / per_chip_target, 3),
         # PRIMARY ESS/s = the productized efficient-frontier configuration
         # (the `production` CLI preset); baseline_* keeps the 4096-particle
-        # baseline-shape ESS/s for cross-round continuity
-        "ess_per_s": eff.get("eff_ess_per_s", round(ess_per_s, 2)),
+        # baseline-shape ESS/s for cross-round continuity.  null when the
+        # eff section is skipped — silently substituting the baseline
+        # shape's number under the same key would make a ~130x config
+        # swap look like a regression
+        "ess_per_s": eff.get("eff_ess_per_s"),
         "baseline_ess_per_s": round(ess_per_s, 2),
         "baseline_ess_min_component": round(ess_min, 1),
         "elapsed_s": round(elapsed, 3),

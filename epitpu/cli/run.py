@@ -338,9 +338,16 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
             resample_every=m.resample_every,
             resample_threshold=m.resample_threshold,
         )
-        if verbose:
+        met = tuned_sd <= float(m.auto_particles)
+        if verbose or not met:
+            rel = "<=" if met else ">"
+            note = "" if met else (
+                "  WARNING: target missed even at the max_particles cap — "
+                "expect sticky pseudo-marginal mixing"
+            )
             print(f"[pmmh] {cfg.name}: auto_particles -> N={n_particles} "
-                  f"(sd(logZ)={tuned_sd:.2f} <= {m.auto_particles})",
+                  f"(sd(logZ)={tuned_sd:.2f} {rel} {m.auto_particles})"
+                  f"{note}",
                   flush=True)
 
     common = dict(
@@ -586,8 +593,9 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
 
 
 # convergence gate thresholds for sweep levels (stated, not silent):
-# classic multi-chain criteria — split-R-hat below 1.1 and pooled ESS above
-# 100 for EVERY theta component
+# rank-normalized split-R-hat below 1.1 and rank-ESS above 100 for EVERY
+# theta component (Vehtari et al. 2021 criteria; the classic estimators
+# are the fallback when the rank fields are absent)
 CONVERGED_MAX_RHAT = 1.1
 CONVERGED_MIN_ESS = 100.0
 
@@ -617,13 +625,17 @@ def run_sweep(sweep_name, cfgs, verbose=True):
         ]
         rhat = report.get("gelman_rubin")
         essv = report.get("ess")
-        # explicit convergence gate (thresholds stated in the summary JSON):
-        # silent "converged" claims are not allowed to stand — the judge's
-        # round-4 finding on the under-converged low-noise faithful rows
+        # explicit convergence gate (thresholds stated in the summary
+        # JSON): silent "converged" claims are not allowed to stand.  The
+        # RANK-NORMALIZED SPLIT estimators are the binding check — the
+        # classic unsplit forms miss identical within-chain drift
+        # (tests/test_diag.py::test_rank_rhat_detects_within_chain_trend)
+        rhat_gate = report.get("gelman_rubin_rank") or rhat
+        ess_gate = report.get("ess_rank") or essv
         converged = (
-            bool(max(rhat) < CONVERGED_MAX_RHAT and
-                 min(essv) > CONVERGED_MIN_ESS)
-            if rhat and essv else None
+            bool(max(rhat_gate) < CONVERGED_MAX_RHAT and
+                 min(ess_gate) > CONVERGED_MIN_ESS)
+            if rhat_gate and ess_gate else None
         )
         levels.append({
             "name": cfg.name,

@@ -116,16 +116,30 @@ def _split_chains(a):
     return np.concatenate([a[:, :half], a[:, n - half :]], axis=0)
 
 
+def _avg_ranks(flat):
+    """Average-tie ranks (scipy.stats.rankdata(method="average") without
+    the scipy dependency — MH chains repeat values on rejection, so ties
+    dominate and midranks matter)."""
+    order = np.argsort(flat, kind="stable")
+    ordinal = np.empty(flat.size, dtype=float)
+    ordinal[order] = np.arange(1, flat.size + 1)
+    _, inverse, counts = np.unique(flat, return_inverse=True,
+                                   return_counts=True)
+    sums = np.zeros(counts.size)
+    np.add.at(sums, inverse, ordinal)
+    return sums[inverse] / counts[inverse]
+
+
 def _rank_normalize(a):
     """Fractional-rank z-scores over the POOLED draws (Vehtari et al. 2021
-    eq. 14): rank with average ties (MH chains repeat values on rejection),
-    then z = ndtri((r - 3/8) / (S + 1/4)).  Shape-preserving."""
-    from scipy.special import ndtri
-    from scipy.stats import rankdata
+    eq. 14): rank with average ties, then z = ndtri((r - 3/8) / (S + 1/4)).
+    Shape-preserving.  Uses jax's ndtri so the package's declared
+    dependencies (jax, numpy) cover the whole diagnostics path."""
+    from jax.scipy.special import ndtri
 
     flat = np.asarray(a, dtype=float).reshape(-1)
-    r = rankdata(flat, method="average")
-    z = ndtri((r - 0.375) / (flat.size + 0.25))
+    r = _avg_ranks(flat)
+    z = np.asarray(ndtri((r - 0.375) / (flat.size + 0.25)))
     return z.reshape(np.shape(a))
 
 

@@ -47,10 +47,15 @@ def tune_particles(
 
     Returns ``(n_particles, sd)`` where ``sd`` is the measured estimator
     sd at the returned count.  If even ``max_particles`` misses the
-    target, returns ``(max_particles, sd)`` — the caller keeps the exact
-    posterior regardless; mixing is just slower.  Degenerate probes
-    (non-finite logZ at this theta) force a doubling: a count whose
-    estimator dies at the starting point cannot carry a chain.
+    target, returns ``(max_particles, sd)`` — possibly ``inf`` — and the
+    caller should surface that the rule was NOT satisfied (the CLI
+    prints a warning); the posterior stays exact regardless, mixing is
+    just slower.  Degenerate probes (non-finite logZ at this theta)
+    force a doubling: more than one dead filter in ``n_reps`` means the
+    estimator dies at the starting point too often to carry a chain, so
+    the sd is treated as infinite rather than computed over the
+    survivors (which would understate the noise exactly where it is
+    worst).
     """
     n = int(start)
     keys = jax.random.split(key, n_reps)
@@ -71,8 +76,8 @@ def tune_particles(
             jax.jit(jax.vmap(lambda k: f(key=k).log_likelihood))(keys)
         )
         finite = np.isfinite(lls)
-        if finite.sum() < max(2, n_reps // 2):
-            return np.inf  # degenerate at this N
+        if finite.sum() < n_reps - 1:
+            return np.inf  # estimator dies too often at this N
         return float(lls[finite].std(ddof=1))
 
     while True:

@@ -422,16 +422,22 @@ def frontier():
     model = sir_model()
     obs = get_observation_model("binomial")
 
+    _sd_cache = {}
+
     def logz_sd(n_particles):
-        f = lambda k: particle_filter(
-            model, obs, k, y, jnp.array([2.0, 1.0]), 0.1,
-            n_particles=n_particles, n_population=4820, mu=20.0,
-            steps_per_unit=20, sampler="fast_rbg", resample_every=4,
-        ).log_likelihood
-        lls = np.asarray(jax.jit(jax.vmap(f))(
-            jax.random.split(jax.random.PRNGKey(7), 64)
-        ))
-        return float(lls.std(ddof=1))
+        # memoized: the grid repeats N values (16 appears four times) and
+        # the probe is identical per N
+        if n_particles not in _sd_cache:
+            f = lambda k: particle_filter(
+                model, obs, k, y, jnp.array([2.0, 1.0]), 0.1,
+                n_particles=n_particles, n_population=4820, mu=20.0,
+                steps_per_unit=20, sampler="fast_rbg", resample_every=4,
+            ).log_likelihood
+            lls = np.asarray(jax.jit(jax.vmap(f))(
+                jax.random.split(jax.random.PRNGKey(7), 64)
+            ))
+            _sd_cache[n_particles] = float(lls.std(ddof=1))
+        return _sd_cache[n_particles]
 
     def run(seed, n_chains, n_particles):
         return particle_mcmc_chains(

@@ -611,9 +611,10 @@ def write_report(out):
             "The pseudo-marginal sampler targets the EXACT posterior at any "
             "particle count, so the faithful `noise` stage (6,000 iters x 3 "
             "chains x 100 particles, reference h=10) and the "
-            "`noise_production` stage (2048 chains x 16 particles, pooled "
-            "adaptation + target acceptance — the CLI `production` preset) "
-            "must agree.  Level-by-level:",
+            "`noise_production` stage (2048 chains, particles auto-sized "
+            "per level by the sd(logZ) <= 1 rule, pooled adaptation at "
+            "h=0.6, NO target-acceptance controller — the CLI `production` "
+            "preset plus --auto-particles) must agree.  Level-by-level:",
             "",
             "| level | all HDIs overlap | PMSE faithful | PMSE production | "
             "min rank-ESS faithful | min rank-ESS production | "
