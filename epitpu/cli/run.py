@@ -715,6 +715,13 @@ PRESETS = {
         data=DataConfig(observation="binomial", obs_param=0.1),
         mcmc=MCMCConfig(
             n_iters=2000, h=0.6, n_particles=16, n_chains=2048,
+            # self-size N from 16 upward by the sd(logZ) <= 1 rule: on the
+            # flagship data this stops at 16 (sd=0.71) — identical to the
+            # pinned frontier config — but a user pointing the preset at
+            # SHARPER data automatically gets the larger N their
+            # likelihood needs (measured: the noise=0.05 level picks 128,
+            # where pinned 16 mixes at acceptance 0.05)
+            auto_particles=1.0,
             adaptive=True, adapt_start=16, pooled_adaptation=True,
             resample_every=4, sampler="fast_rbg",
             store_trajectories=False,

@@ -424,7 +424,9 @@ def test_production_preset_theta_only(tmp_path):
     m = cfg.mcmc
     assert (m.n_chains, m.n_particles) == (2048, 16)
     assert m.pooled_adaptation and m.h == 0.6
+    assert m.auto_particles == 1.0
     assert m.resample_every == 4 and not m.store_trajectories
+    m.auto_particles = None  # keep the CI shrink deterministic
     # shrink for CI but keep the sampler semantics
     m.n_iters, m.n_chains, m.n_particles, m.steps_per_unit = 40, 4, 16, 5
     m.adapt_start = 8
