@@ -80,7 +80,8 @@ def _cpu_seconds():
 
 
 def weak_scaling(widths=WIDTHS, chains_per_shard=2, n_iters=48,
-                 n_particles=256, steps_per_unit=10, repeats=3):
+                 n_particles=256, steps_per_unit=10, repeats=3,
+                 store_trajectories=True, mode="weak_scaling_chain_axis"):
     """Weak-scale sharded_pmmh over the chain mesh axis.  Returns the
     measurement dict (also what SCALING.json stores)."""
     import jax
@@ -110,7 +111,7 @@ def weak_scaling(widths=WIDTHS, chains_per_shard=2, n_iters=48,
             n_iters=n_iters, n_particles=n_particles,
             steps_per_unit=steps_per_unit,
             adaptive=True, adapt_start=8, pooled_adaptation=True,
-            n_init_attempts=2,
+            n_init_attempts=2, store_trajectories=store_trajectories,
         )
         np.asarray(res.thetas)  # block
         return res
@@ -149,7 +150,7 @@ def weak_scaling(widths=WIDTHS, chains_per_shard=2, n_iters=48,
             4,
         )
     return {
-        "mode": "weak_scaling_chain_axis",
+        "mode": mode,
         "backend": "cpu_virtual_mesh",
         "host_cpus": os.cpu_count(),
         "chains_per_shard": chains_per_shard,
@@ -563,6 +564,10 @@ def main(argv=None):
                     help="ABC backend (pallas vs xla) comparison (run on TPU)")
     ap.add_argument("--particle", action="store_true",
                     help="particle-axis weak scaling (virtual CPU mesh)")
+    ap.add_argument("--production-mesh", action="store_true",
+                    help="chain-axis weak scaling at the production preset "
+                    "shape (16 chains/shard x 16 particles, theta-only "
+                    "fast path; virtual CPU mesh)")
     ap.add_argument("--resampler", action="store_true",
                     help="compare-reduce vs scatter resampler N-sweep "
                     "(run on TPU)")
@@ -590,6 +595,15 @@ def main(argv=None):
         existing["tpu_chain_sweep"] = tpu_chain_sweep()
     elif args.particle:
         existing["particle_weak_scaling"] = particle_weak_scaling()
+    elif args.production_mesh:
+        # the production preset shape scaled over the chain mesh axis:
+        # same harness and honesty note, per-shard slice of the 2048x16
+        # frontier configuration (16 chains/shard keeps the 2-core host
+        # inside the CPU-seconds criterion's noise floor)
+        existing["weak_scaling_production_shape"] = weak_scaling(
+            chains_per_shard=16, n_particles=16, steps_per_unit=10,
+            store_trajectories=False, mode="weak_scaling_production_shape",
+        )
     else:
         existing["weak_scaling"] = weak_scaling()
 
