@@ -406,8 +406,16 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
         for c in model.compartments
     ]
 
+    # Reference artifact layout: one run<i>/ directory per chain
+    # (reference runs write run1/run2/run3).  That layout stops making
+    # sense at production chain counts — the `production` preset runs
+    # 2,048 chains, and 2,048 CSV directories is a filesystem DoS — so
+    # past 8 chains only the first 3 get reference-layout dirs (enough
+    # for reference-style 3-chain tooling) and the FULL chain set goes
+    # into one compressed chains.npz.
+    n_ref_dirs = m.n_chains if m.n_chains <= 8 else 3
     run_dirs = []
-    for c in range(m.n_chains):
+    for c in range(n_ref_dirs):
         run_dir = os.path.join(out_root, f"run{c + 1}")
         save_pmmh_run(
             run_dir,
@@ -417,6 +425,12 @@ def run_experiment(cfg: ExperimentConfig, verbose=True):
             compartment_names=comp_names,
         )
         run_dirs.append(run_dir)
+    if m.n_chains > n_ref_dirs:
+        np.savez_compressed(
+            os.path.join(out_root, "chains.npz"),
+            thetas=np.asarray(result.thetas),
+            log_likelihoods=np.asarray(result.log_likelihoods),
+        )
 
     report = {
         "name": cfg.name,

@@ -498,3 +498,18 @@ def test_auto_particles_wiring(tmp_path, monkeypatch):
     assert report["n_particles"] == captured["n_particles"]
     assert report["n_particles"] >= 16
     assert report["auto_particles_sd"] <= 2.0 or report["n_particles"] == 4096
+
+
+def test_many_chain_artifacts_collapse_to_npz(tmp_path):
+    """Past 8 chains the per-chain reference CSV layout caps at 3 dirs and
+    the full chain set lands in one chains.npz (2,048 run dirs from the
+    production preset would be a filesystem DoS)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.mcmc.n_chains = 9
+    cfg.mcmc.n_iters = 20
+    result, report = run_experiment(cfg, verbose=False)
+    root = tmp_path / "data" / "tiny"
+    assert (root / "run3").is_dir() and not (root / "run4").exists()
+    z = np.load(root / "chains.npz")
+    assert z["thetas"].shape == (9, 20, 2)
+    assert z["log_likelihoods"].shape == (9, 20)
